@@ -1,0 +1,46 @@
+"""`jax.custom_vjp` wiring on canonical batched arguments.
+
+This is the JAX-native equivalent of the reference's ChainRulesCore rrules
+(`ext/DiffPointRasterisationChainRulesCoreExt.jl:6-92`): the forward runs the
+selected backend, residuals are just the six inputs (recompute-not-cache, as
+in the reference `src/raster_pullback.jl:20-22`), and the backward calls the
+analytic pullback of the same backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from dprast.ops import dispatch
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def raster_canonical(grid_size, backend, points, rotation, translation,
+                     background, out_weight, point_weight):
+    """Forward rasterisation on canonical batched args → (B, *grid_size).
+
+    `grid_size` (tuple of python ints) and `backend` (resolved name) are
+    static; the six array args are differentiable.
+    """
+    return dispatch.fwd_fn(backend)(grid_size, points, rotation, translation,
+                                    background, out_weight, point_weight)
+
+
+def _fwd(grid_size, backend, points, rotation, translation, background,
+         out_weight, point_weight):
+    out = raster_canonical(grid_size, backend, points, rotation, translation,
+                           background, out_weight, point_weight)
+    residuals = (points, rotation, translation, background, out_weight,
+                 point_weight)
+    return out, residuals
+
+
+def _bwd(grid_size, backend, residuals, ds_dout):
+    grads = dispatch.bwd_fn(backend)(grid_size, *residuals, ds_dout)
+    # PullbackResult field order == canonical argument order.
+    return tuple(grads)
+
+
+raster_canonical.defvjp(_fwd, _bwd)

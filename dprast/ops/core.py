@@ -1,0 +1,142 @@
+"""Pure-jnp reference implementation (the oracle, and the any-dims fallback).
+
+Works for any static (N_in, N_out) with N_in >= N_out, on CPU and TPU.  The
+forward uses an XLA scatter-add with `mode='drop'` (the TPU-native stand-in
+for the reference's atomic adds, reference `src/raster.jl:64`); the pullback
+is a pure gather and therefore needs no conflict resolution at all
+(reference `src/raster_pullback.jl:39-73`).
+
+All functions here take *canonical batched* arguments:
+
+    points       (P, N_in)
+    rotation     (B, N_out, N_in)
+    translation  (B, N_out)
+    background   (B,)
+    out_weight   (B,)
+    point_weight (P,)
+    out          (B, *grid_size)       # leading batch axis (JAX-idiomatic;
+                                       # the reference uses a trailing one)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dprast.ops import geometry
+
+
+class PullbackResult(NamedTuple):
+    """Gradients w.r.t. the six canonical inputs
+    (reference `src/raster_pullback.jl:74-81` NamedTuple)."""
+
+    points: jnp.ndarray        # (P, N_in)
+    rotation: jnp.ndarray      # (B, N_out, N_in)
+    translation: jnp.ndarray   # (B, N_out)
+    background: jnp.ndarray    # (B,)
+    out_weight: jnp.ndarray    # (B,)
+    point_weight: jnp.ndarray  # (P,)
+
+
+def _neighbour_data(points, rotation, translation, grid_size):
+    """Shared forward/backward recompute: neighbour indices, validity mask,
+    per-shift multilinear weights and deltas.
+
+    Returns (idx_flat (B,P,S) int32 with OOB mapped to `total`,
+             wsplat (B,P,S), dl (B,P,N_out), shifts (S,N_out)).
+    """
+    n_out = len(grid_size)
+    shifts = jnp.asarray(geometry.voxel_shifts(n_out))
+    q = geometry.transform_points(points, rotation, translation)
+    r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+    idx = r0[..., None, :] + shifts  # (B, P, S, N_out)
+    sizes = jnp.asarray(grid_size, dtype=jnp.int32)
+    inb = jnp.all((idx >= 0) & (idx < sizes), axis=-1)  # (B, P, S)
+    strides = jnp.asarray(geometry.flat_strides(grid_size))
+    total = int(math.prod(grid_size))
+    idx_flat = jnp.sum(idx * strides, axis=-1)
+    # out-of-bounds → one-past-the-end so scatter mode='drop' / masked gather
+    # reproduce the reference's silent per-neighbour drop (src/raster.jl:62).
+    idx_flat = jnp.where(inb, idx_flat, total)
+    wsplat = geometry.splat_weights(dl, shifts)  # (B, P, S)
+    return idx_flat, wsplat, dl, shifts
+
+
+def raster_fwd(grid_size, points, rotation, translation, background,
+               out_weight, point_weight):
+    """Forward rasterisation on canonical batched args → (B, *grid_size).
+
+    Semantics per reference `src/raster.jl:5-66`: output initialised to the
+    per-pose background, every point splats ``out_weight[b] * point_weight[p]``
+    multilinearly onto its 2^N neighbours, OOB neighbours dropped.
+    """
+    b = rotation.shape[0]
+    total = int(math.prod(grid_size))
+    idx_flat, wsplat, _, _ = _neighbour_data(points, rotation, translation,
+                                             grid_size)
+    w = wsplat * out_weight[:, None, None] * point_weight[None, :, None]
+
+    def scatter_one(flat_idx, vals, bg):
+        out = jnp.full((total,), bg, dtype=vals.dtype)
+        return out.at[flat_idx.reshape(-1)].add(
+            vals.reshape(-1), mode="drop", indices_are_sorted=False,
+            unique_indices=False)
+
+    out_flat = jax.vmap(scatter_one)(idx_flat, w, background)
+    return out_flat.reshape((b,) + tuple(grid_size))
+
+
+def raster_pullback(grid_size, points, rotation, translation, background,
+                    out_weight, point_weight, ds_dout) -> PullbackResult:
+    """Analytic pullback on canonical batched args.
+
+    Pure gather: recomputes the forward neighbour geometry (the reference's
+    recompute-not-cache strategy, `src/raster_pullback.jl:20-22`), reads the
+    2^N cotangent values per (point, pose) and contracts:
+
+      ds/du_i     = sum_s g * ow * pw * dW_s/ddl_i          (.jl:60-65)
+      scaled      = ds/du * (n/2)                            (.jl:67)
+      ds/dt       = sum_p scaled                             (.jl:68)
+      ds/dR       = sum_p scaled ⊗ p                         (.jl:69)
+      ds/dp       = sum_b R^T scaled                         (.jl:70-71)
+      ds/dbg      = sum_grid ds_dout                         (.jl:78)
+      ds/dow      = sum_{p,s} g * W_s * pw                   (.jl:57)
+      ds/dpw      = sum_{b,s} g * W_s * ow                   (.jl:58)
+    """
+    idx_flat, wsplat, dl, shifts = _neighbour_data(points, rotation,
+                                                   translation, grid_size)
+    b = rotation.shape[0]
+    g_flat = ds_dout.reshape(b, -1)
+
+    def gather_one(gf, flat_idx):
+        # OOB indices were mapped to `total`; mode='fill' returns 0 there.
+        return gf.at[flat_idx.reshape(-1)].get(mode="fill", fill_value=0)
+
+    g = jax.vmap(gather_one)(g_flat, idx_flat).reshape(idx_flat.shape)  # (B,P,S)
+
+    gw = g * wsplat
+    ds_dout_weight = jnp.einsum("bps,p->b", gw, point_weight)
+    ds_dpoint_weight = jnp.einsum("bps,b->p", gw, out_weight)
+
+    factor = g * (out_weight[:, None] * point_weight[None, :])[..., None]
+    dw_ddl = geometry.splat_weight_grads(dl, shifts)  # (B,P,S,N_out)
+    ds_du = jnp.einsum("bps,bpsn->bpn", factor, dw_ddl)
+    scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
+    scaled = ds_du * scale  # (B, P, N_out)
+
+    ds_dtranslation = jnp.sum(scaled, axis=1)
+    ds_drotation = jnp.einsum("bpo,pi->boi", scaled, points)
+    ds_dpoints = jnp.einsum("boi,bpo->pi", rotation, scaled)
+    ds_dbackground = jnp.sum(g_flat, axis=-1)
+
+    return PullbackResult(
+        points=ds_dpoints,
+        rotation=ds_drotation,
+        translation=ds_dtranslation,
+        background=ds_dbackground,
+        out_weight=ds_dout_weight,
+        point_weight=ds_dpoint_weight,
+    )

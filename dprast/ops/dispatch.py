@@ -1,0 +1,85 @@
+"""Backend registry and selection.
+
+The reference selects backends implicitly from array types
+(`src/raster.jl:29` get_backend; CUDA dispatch in
+`ext/DiffPointRasterisationCUDAExt.jl:231-245`).  In JAX device placement is
+orthogonal (arrays are already committed to devices), so a backend here means
+a *kernel strategy*:
+
+- ``"xla"``     pure-jnp scatter/gather oracle (`dprast.ops.core`) — any dims
+- ``"matmul"``  scatter-free MXU contraction (`dprast.ops.splat_matmul`)
+- ``"pallas"``  fused Pallas TPU kernels (`dprast.ops.pallas_splat`)
+- ``"auto"``    best available for the given dims / platform
+"""
+
+from __future__ import annotations
+
+import jax
+
+from dprast.ops import core, splat_matmul
+
+_REGISTRY = {}
+
+
+def register(name: str, fwd, bwd, supports):
+    _REGISTRY[name] = (fwd, bwd, supports)
+
+
+register("xla", core.raster_fwd, core.raster_pullback, lambda n_out: True)
+register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
+         splat_matmul.supported)
+
+
+def _try_register_pallas():
+    try:
+        from dprast.ops import pallas_splat  # noqa: PLC0415
+    except ImportError:
+        return
+    register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
+             pallas_splat.supported)
+
+
+_try_register_pallas()
+
+
+def available_backends() -> tuple[str, ...]:
+    return tuple(_REGISTRY)
+
+
+def default_backend() -> str:
+    return "auto"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+def resolve(backend: str, n_out: int) -> str:
+    """Map 'auto' to a concrete strategy for the given output rank."""
+    if backend != "auto":
+        if backend not in _REGISTRY:
+            raise ValueError(
+                f"Unknown backend {backend!r}; available: {available_backends()}")
+        _, _, supports = _REGISTRY[backend]
+        if not supports(n_out):
+            raise ValueError(
+                f"Backend {backend!r} does not support N_out={n_out}")
+        return backend
+    if "pallas" in _REGISTRY and _on_tpu():
+        _, _, supports = _REGISTRY["pallas"]
+        if supports(n_out):
+            return "pallas"
+    if splat_matmul.supported(n_out):
+        return "matmul"
+    return "xla"
+
+
+def fwd_fn(backend: str):
+    return _REGISTRY[backend][0]
+
+
+def bwd_fn(backend: str):
+    return _REGISTRY[backend][1]

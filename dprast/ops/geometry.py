@@ -1,0 +1,112 @@
+"""Shared splat geometry: pose transform, reference-voxel/delta computation,
+and the 2^N neighbour-shift enumeration.
+
+Semantics match the reference exactly (reference `src/raster.jl:85-108`,
+`src/util.jl:7-27`), restated in 0-based indexing:
+
+The output grid of size ``n`` along an axis discretises the interval (-1, 1);
+voxel ``j`` (0-based) has its center at coordinate ``u = j`` in the "grid
+coordinate system" defined by
+
+    u = (q + 1) * (n / 2) - 1/2,        q = R @ p + t
+
+The reference voxel is ``r0 = ceil(u) - 1`` and the fractional offset
+``dl = u - r0`` lies in ``(0, 1]``.  A point splats onto voxels ``r0 + s`` for
+each shift ``s in {0,1}^N`` with multilinear weight
+``prod_i(s_i ? dl_i : 1 - dl_i)``; neighbours outside the grid are dropped.
+
+(The reference works 1-based: ``coord = (q - origin) * scale`` with
+``origin = -1 - t``, ``ref = ceil(coord - 1/2)``, ``dl = coord - ref + 1/2``;
+the formulas above are the exact 0-based translation.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def voxel_shifts(n_out: int) -> np.ndarray:
+    """All 2^N neighbour shifts, LSB-first bit order (reference `src/util.jl:26-27`).
+
+    Returns an int32 array of shape (2**n_out, n_out) with
+    ``shifts[k, i] = (k >> i) & 1``.
+    """
+    k = np.arange(2**n_out, dtype=np.int32)
+    i = np.arange(n_out, dtype=np.int32)
+    return ((k[:, None] >> i[None, :]) & 1).astype(np.int32)
+
+
+def transform_points(points: jnp.ndarray, rotation: jnp.ndarray,
+                     translation: jnp.ndarray) -> jnp.ndarray:
+    """Apply the batched rigid/projective pose transform ``q = R @ p + t``.
+
+    points: (P, N_in); rotation: (B, N_out, N_in); translation: (B, N_out)
+    → (B, P, N_out).  (reference `src/raster.jl:88` ``projected_point``)
+    """
+    q = jnp.einsum("boi,pi->bpo", rotation, points)
+    return q + translation[:, None, :]
+
+
+def grid_coords(q: jnp.ndarray, grid_size: tuple[int, ...]) -> jnp.ndarray:
+    """Map transformed points to 0-based fractional grid coordinates ``u``.
+
+    q: (..., N_out) → u: (..., N_out) with ``u = (q + 1) * n/2 - 1/2``.
+    (reference `src/raster.jl:25,53,92`: ``scale = n/2``, ``origin = -1 - t``,
+    ``coord = (q - origin) * scale``; here ``u = coord - 1``.)
+    """
+    scale = jnp.asarray(grid_size, dtype=q.dtype) / 2
+    return (q + 1) * scale - jnp.asarray(0.5, dtype=q.dtype)
+
+
+def reference_voxel_and_deltas(
+    q: jnp.ndarray, grid_size: tuple[int, ...]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """0-based reference voxel index and lower-corner delta.
+
+    Returns ``(r0, dl)`` with ``r0 = ceil(u) - 1`` (int32) and
+    ``dl = u - r0 in (0, 1]`` so that a point exactly on a voxel center gets
+    ``dl == 1`` and sends its full weight to shift ``s = 1``.
+    (reference `src/raster.jl:94-97`.)
+    """
+    u = grid_coords(q, grid_size)
+    r0f = jnp.ceil(u) - 1
+    dl = u - r0f
+    return r0f.astype(jnp.int32), dl
+
+
+def splat_weights(dl: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Multilinear weights for every neighbour shift.
+
+    dl: (..., N_out); shifts: (S, N_out) → (..., S) with
+    ``w[..., k] = prod_i (shifts[k,i] ? dl_i : 1 - dl_i)``
+    (reference `src/raster.jl:103-108` ``voxel_weight``).
+    """
+    sel = jnp.where(shifts.astype(bool), dl[..., None, :], 1 - dl[..., None, :])
+    return jnp.prod(sel, axis=-1)
+
+
+def splat_weight_grads(dl: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """d(splat_weights)/d(dl): (..., S, N_out).
+
+    ``dw_k/ddl_i = (shifts[k,i] ? +1 : -1) * prod_{j != i} (s_j ? dl_j : 1-dl_j)``
+    (reference `src/raster_pullback.jl:150-160` ``interpolation_weight``).
+    Computed with a masked product (no division) so ``dl -> 0`` is exact.
+    """
+    n = dl.shape[-1]
+    sel = jnp.where(shifts.astype(bool), dl[..., None, :], 1 - dl[..., None, :])
+    # prod over j != i: substitute 1 at position i, take full product.
+    eye = jnp.eye(n, dtype=bool)
+    sel_exp = jnp.where(eye, jnp.ones_like(sel[..., None, :]), sel[..., None, :])
+    prod_exc = jnp.prod(sel_exp, axis=-1)  # (..., S, N)
+    sign = jnp.where(shifts.astype(bool), 1, -1).astype(dl.dtype)
+    return sign * prod_exc
+
+
+def flat_strides(grid_size: tuple[int, ...]) -> np.ndarray:
+    """Row-major strides for flattening an N-d grid index."""
+    return np.array(
+        [int(np.prod(grid_size[i + 1:], dtype=np.int64)) for i in range(len(grid_size))],
+        dtype=np.int32,
+    )

@@ -1,0 +1,228 @@
+"""Scatter-free MXU formulation of the multilinear splat.
+
+The splat weight factorises over output axes: with per-axis one-hot-pair
+vectors ``a_p(h) = (h == r0_y) (1-dl_y) + (h == r0_y+1) dl_y`` (and likewise
+``b_p(w)`` for the second axis), the 2D forward is a single contraction over
+points
+
+    out[b] = background[b] + out_weight[b] * einsum('ph,pw->hw', pw * A, B)
+
+i.e. a dense matmul that runs on the TPU MXU with **no scatter and no
+atomics** — the TPU-native replacement for the reference's atomic adds
+(`src/raster.jl:64`) and its CUDA shared-memory reductions
+(`ext/DiffPointRasterisationCUDAExt.jl:107-191`).  Out-of-grid neighbours
+drop out automatically because the iota comparison never matches.
+
+The backward needs only two more matmuls per pose:
+
+    U = einsum('pw,hw->ph', B, g)     V = einsum('ph,hw->pw', A, g)
+    ds/du_y[p] = <A'_p, U_p>          ds/du_x[p] = <V_p, B'_p>
+    sum_s g·W_s per (b,p) = <V_p, B_p>   (drives the two weight gradients)
+
+with ``A'_p(h) = (h == r0+1) - (h == r0)``.  Point/pose/weight gradients then
+follow from tiny contractions exactly as in the reference
+(`src/raster_pullback.jl:67-72`).
+
+Points are processed in static-size chunks via `lax.scan` so the one-hot
+factors live only transiently (in VMEM once Pallas-fused; in a small HBM
+buffer on the pure-XLA path here).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dprast.ops import geometry
+from dprast.ops.core import PullbackResult
+
+# Default matmul precision: HIGHEST gives f32-faithful accumulation on the
+# MXU (bf16x3 passes), needed for the 1e-5 gradient-parity target.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _pick_chunk(n_points: int, batch: int, grid_size) -> int:
+    """Static point-chunk size: bound transient factor memory to ~128 MiB
+    while keeping the MXU contraction dimension reasonably large.  For 3D
+    grids the dominant transient is the fused (B, Pc, Z*Y) plane factor."""
+    if len(grid_size) == 3:
+        width = grid_size[0] * grid_size[1] + sum(grid_size)
+    else:
+        width = sum(grid_size)  # H + W
+    budget = 128 * 1024 * 1024
+    chunk = budget // max(1, 4 * batch * width)
+    chunk = max(8, min(n_points, chunk))
+    # round to sublane multiple
+    return min(int(-(-n_points // 8) * 8), int(-(-chunk // 8) * 8))
+
+
+def _axis_factors(r0_ax, dl_ax, n: int, valid):
+    """One-hot-pair factor matrix and its u-derivative for one output axis.
+
+    r0_ax, dl_ax: (B, Pc) → (A, dA): (B, Pc, n).
+    """
+    h = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    lo = h == r0_ax[..., None]
+    hi = h == (r0_ax[..., None] + 1)
+    dl = dl_ax[..., None]
+    a = jnp.where(lo, 1 - dl, 0) + jnp.where(hi, dl, 0)
+    da = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
+    v = valid[..., None].astype(a.dtype)
+    return a * v, da * v
+
+
+def _chunked(points, point_weight, chunk):
+    """Pad the point axis to a multiple of `chunk` and reshape to
+    (K, chunk, ...) for lax.scan. Padded entries are masked via `valid`."""
+    p = points.shape[0]
+    k = -(-p // chunk)
+    pad = k * chunk - p
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    pw = jnp.pad(point_weight, (0, pad))
+    valid = jnp.arange(k * chunk) < p
+    return (pts.reshape(k, chunk, -1), pw.reshape(k, chunk),
+            valid.reshape(k, chunk), k, pad)
+
+
+def supported(n_out: int) -> bool:
+    return n_out in (1, 2, 3)
+
+
+def raster_fwd(grid_size, points, rotation, translation, background,
+               out_weight, point_weight, *, chunk: int | None = None,
+               precision=_PRECISION):
+    """Forward rasterisation via per-axis factor contractions.
+
+    Canonical batched args (see `dprast.ops.core`) → (B, *grid_size).
+    """
+    n_out = len(grid_size)
+    assert supported(n_out), f"matmul path supports N_out in (1,2,3), got {n_out}"
+    b = rotation.shape[0]
+    p, _ = points.shape
+    if chunk is None:
+        chunk = _pick_chunk(p, b, grid_size)
+    pts_k, pw_k, valid_k, k, _ = _chunked(points, point_weight, chunk)
+    dtype = jnp.result_type(points.dtype, rotation.dtype, translation.dtype)
+
+    def step(acc, xs):
+        pts_c, pw_c, valid_c = xs
+        q = geometry.transform_points(pts_c, rotation, translation)  # (B,Pc,N_out)
+        r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+        facs = [
+            _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])[0]
+            for i in range(n_out)
+        ]
+        # fold the per-point weight into the first factor
+        facs[0] = facs[0] * pw_c[None, :, None]
+        if n_out == 1:
+            upd = jnp.einsum("bph->bh", facs[0], precision=precision)
+        elif n_out == 2:
+            upd = jnp.einsum("bph,bpw->bhw", facs[0], facs[1],
+                             precision=precision)
+        else:  # n_out == 3: fuse (z, y) then contract with x on the MXU
+            zy = jnp.einsum("bpz,bpy->bpzy", facs[0], facs[1],
+                            precision=precision)
+            zy = zy.reshape(b, chunk, grid_size[0] * grid_size[1])
+            upd = jnp.einsum("bpk,bpx->bkx", zy, facs[2],
+                             precision=precision).reshape(
+                                 (b,) + tuple(grid_size))
+        return acc + upd, None
+
+    acc0 = jnp.zeros((b,) + tuple(grid_size), dtype=dtype)
+    acc, _ = lax.scan(step, acc0, (pts_k, pw_k, valid_k))
+    out = acc * out_weight.reshape((b,) + (1,) * n_out)
+    return out + background.reshape((b,) + (1,) * n_out).astype(out.dtype)
+
+
+def raster_pullback(grid_size, points, rotation, translation, background,
+                    out_weight, point_weight, ds_dout, *,
+                    chunk: int | None = None,
+                    precision=_PRECISION) -> PullbackResult:
+    """Analytic pullback via factor-matrix contractions (gather-free AND
+    scatter-free).  Returns `PullbackResult` (see `dprast.ops.core`)."""
+    n_out = len(grid_size)
+    assert supported(n_out)
+    b = rotation.shape[0]
+    p, n_in = points.shape
+    if chunk is None:
+        chunk = _pick_chunk(p, b, grid_size)
+    pts_k, pw_k, valid_k, k, pad = _chunked(points, point_weight, chunk)
+
+    g = ds_dout  # (B, *grid)
+
+    def step(carry, xs):
+        pts_c, pw_c, valid_c = xs
+        q = geometry.transform_points(pts_c, rotation, translation)
+        r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+        fs = [
+            _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])
+            for i in range(n_out)
+        ]  # list of (A_i, dA_i), each (B, Pc, n_i)
+
+        if n_out == 1:
+            (a0, d0), = fs
+            u0 = g  # (B, H)
+            gW = jnp.einsum("bph,bh->bp", a0, g, precision=precision)
+            ds_du = jnp.einsum("bph,bh->bp", d0, g,
+                               precision=precision)[..., None]
+        elif n_out == 2:
+            (a0, d0), (a1, d1) = fs
+            # U[p,h] = sum_w B[p,w] g[h,w] ; V[p,w] = sum_h A[p,h] g[h,w]
+            u0 = jnp.einsum("bpw,bhw->bph", a1, g, precision=precision)
+            v1 = jnp.einsum("bph,bhw->bpw", a0, g, precision=precision)
+            gW = jnp.einsum("bpw,bpw->bp", v1, a1, precision=precision)
+            ds_du = jnp.stack([
+                jnp.einsum("bph,bph->bp", d0, u0, precision=precision),
+                jnp.einsum("bpw,bpw->bp", v1, d1, precision=precision),
+            ], axis=-1)
+        else:
+            (a0, d0), (a1, d1), (a2, d2) = fs
+            gz, gy, gx = grid_size
+            gf = g.reshape(b, gz * gy, gx)
+            # contract x first: E[p, zy] = sum_x A2[p,x] g[zy, x]
+            e = jnp.einsum("bpx,bkx->bpk", a2, gf,
+                           precision=precision).reshape(b, chunk, gz, gy)
+            ey = jnp.einsum("bpy,bpzy->bpz", a1, e, precision=precision)
+            gW = jnp.einsum("bpz,bpz->bp", a0, ey, precision=precision)
+            ds_du_z = jnp.einsum("bpz,bpz->bp", d0, ey, precision=precision)
+            ds_du_y = jnp.einsum(
+                "bpz,bpy,bpzy->bp", a0, d1, e, precision=precision)
+            # contract z,y first for the x gradient
+            ezy = jnp.einsum("bpz,bpy->bpzy", a0, a1, precision=precision)
+            ezy = ezy.reshape(b, chunk, gz * gy)
+            ds_du_x = jnp.einsum("bpk,bpx,bkx->bp", ezy, d2, gf,
+                                 precision=precision)
+            ds_du = jnp.stack([ds_du_z, ds_du_y, ds_du_x], axis=-1)
+
+        # weight gradients from gW = sum_s g · W_s  per (b, p)
+        d_ow = jnp.einsum("bp,p->b", gW, pw_c)
+        d_pw = jnp.einsum("bp,b->p", gW, out_weight)
+
+        scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
+        coeff = (out_weight[:, None] * pw_c[None, :])[..., None]
+        scaled = ds_du * coeff * scale  # (B, Pc, N_out)
+
+        d_t = jnp.sum(scaled, axis=1)                                # (B, N_out)
+        d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c)
+        d_p = jnp.einsum("boi,bpo->pi", rotation, scaled)            # (Pc, N_in)
+
+        c_t, c_r, c_ow = carry
+        return (c_t + d_t, c_r + d_r, c_ow + d_ow), (d_p, d_pw)
+
+    dtype = jnp.result_type(points.dtype, rotation.dtype, ds_dout.dtype)
+    carry0 = (jnp.zeros((b, n_out), dtype),
+              jnp.zeros((b, n_out, n_in), dtype),
+              jnp.zeros((b,), dtype))
+    (d_t, d_r, d_ow), (d_p_k, d_pw_k) = lax.scan(
+        step, carry0, (pts_k, pw_k, valid_k))
+
+    d_points = d_p_k.reshape(k * chunk, n_in)[:p]
+    d_pw = d_pw_k.reshape(k * chunk)[:p]
+    d_bg = jnp.sum(g.reshape(b, -1), axis=-1)
+
+    return PullbackResult(points=d_points, rotation=d_r, translation=d_t,
+                          background=d_bg, out_weight=d_ow,
+                          point_weight=d_pw)
