@@ -1,0 +1,106 @@
+"""Flagship benchmark: fwd+bwd points·splats/s on one chip.
+
+Config = BASELINE config 3 (the reference README's best-GPU row,
+`/root/reference/README.md:191`): 10^5 points, 64 poses, 3D→2D orthographic
+projection onto a 128² grid.  Baseline = the A100 reference number,
+10^5·64·4 splats / (153 ms fwd + 9 ms bwd) ≈ 1.58e8 points·splats/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import dprast
+    from dprast import api
+    from dprast.ops import dispatch
+
+    n_points, batch, grid = 100_000, 64, (128, 128)
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.standard_normal((n_points, 3)) * 0.4,
+                         jnp.float32)
+    angles = rng.uniform(0, 2 * np.pi, batch)
+    c, s = np.cos(angles), np.sin(angles)
+    rot = np.zeros((batch, 2, 3), np.float32)
+    rot[:, 0, 0], rot[:, 0, 2] = c, -s
+    rot[:, 1, 1] = 1.0
+    rotation = jnp.asarray(rot)
+    translation = jnp.asarray(rng.standard_normal((batch, 2)) * 0.1,
+                              jnp.float32)
+    background = jnp.zeros((batch,), jnp.float32)
+    out_weight = jnp.ones((batch,), jnp.float32)
+    point_weight = jnp.asarray(rng.uniform(0.5, 2.0, n_points), jnp.float32)
+    args = (points, rotation, translation, background, out_weight,
+            point_weight)
+
+    backend = dispatch.resolve("auto", len(grid))
+    ds_dout = jnp.asarray(
+        rng.standard_normal((batch,) + grid), jnp.float32)
+
+    # Timing note: on remote-tunnelled devices `block_until_ready` can ack at
+    # enqueue time and a result fetch pays seconds of transfer latency, so
+    # neither times the device truthfully.  Instead run K *data-dependent*
+    # chained iterations inside one jit, fetch a scalar, and linear-fit two K
+    # values to cancel the constant dispatch+fetch overhead.
+    def fwd_step(c, *a):
+        pts, rot, tr, bg, ow, pw = a
+        out = dispatch.fwd_fn(backend)(grid, pts, rot, tr + c * 1e-30, bg,
+                                       ow, pw)
+        return out.ravel()[0]
+
+    def bwd_step(c, *a):
+        pts, rot, tr, bg, ow, pw, g = a
+        res = dispatch.bwd_fn(backend)(grid, pts, rot, tr + c * 1e-30, bg,
+                                       ow, pw, g)
+        return res.translation.ravel()[0]
+
+    def chained_time(step, a, k):
+        @jax.jit
+        def run(c0, *a):
+            return jax.lax.fori_loop(0, k, lambda i, c: step(c, *a), c0)
+
+        float(run(jnp.float32(0), *a))  # warm (compile + first exec)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(jnp.float32(0), *a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def per_iter(step, a, k1=2, k2=8):
+        t1 = chained_time(step, a, k1)
+        t2 = chained_time(step, a, k2)
+        return max((t2 - t1) / (k2 - k1), 1e-9)
+
+    t_fwd = per_iter(fwd_step, args)
+    t_bwd = per_iter(bwd_step, args + (ds_dout,))
+
+    splats = n_points * batch * 2 ** len(grid)
+    value = splats / (t_fwd + t_bwd)
+    baseline = 1.58e8  # A100, README.md:191 (153 ms fwd + 9 ms bwd)
+    print(json.dumps({
+        "metric": "points_splats_per_s_fwd_bwd_3d_to_2d_128sq",
+        "value": value,
+        "unit": "splats/s",
+        "vs_baseline": value / baseline,
+        "detail": {
+            "backend": backend,
+            "platform": jax.default_backend(),
+            "t_fwd_ms": t_fwd * 1e3,
+            "t_bwd_ms": t_bwd * 1e3,
+            "n_points": n_points, "batch": batch, "grid": list(grid),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

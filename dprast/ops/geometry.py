@@ -24,7 +24,25 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+
+def zeros_vma(shape, dtype, *like):
+    """`jnp.zeros` whose varying-manual-axes match the union of `like`'s.
+
+    Needed so backend-internal accumulators (e.g. `lax.scan` carries) are
+    well-typed when a backend runs inside `jax.shard_map` (check_vma=True):
+    a plain `jnp.zeros` is axis-invariant while the scan output varies over
+    the mesh axes of the inputs.
+    """
+    z = jnp.zeros(shape, dtype)
+    vma = frozenset()
+    for a in like:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    if vma:
+        z = jax.lax.pcast(z, tuple(vma), to="varying")
+    return z
 
 
 def voxel_shifts(n_out: int) -> np.ndarray:

@@ -131,7 +131,9 @@ def raster_fwd(grid_size, points, rotation, translation, background,
                                  (b,) + tuple(grid_size))
         return acc + upd, None
 
-    acc0 = jnp.zeros((b,) + tuple(grid_size), dtype=dtype)
+    acc0 = geometry.zeros_vma((b,) + tuple(grid_size), dtype,
+                              points, rotation, translation, out_weight,
+                              point_weight)
     acc, _ = lax.scan(step, acc0, (pts_k, pw_k, valid_k))
     out = acc * out_weight.reshape((b,) + (1,) * n_out)
     return out + background.reshape((b,) + (1,) * n_out).astype(out.dtype)
@@ -213,9 +215,10 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         return (c_t + d_t, c_r + d_r, c_ow + d_ow), (d_p, d_pw)
 
     dtype = jnp.result_type(points.dtype, rotation.dtype, ds_dout.dtype)
-    carry0 = (jnp.zeros((b, n_out), dtype),
-              jnp.zeros((b, n_out, n_in), dtype),
-              jnp.zeros((b,), dtype))
+    like = (points, rotation, translation, out_weight, point_weight, ds_dout)
+    carry0 = (geometry.zeros_vma((b, n_out), dtype, *like),
+              geometry.zeros_vma((b, n_out, n_in), dtype, *like),
+              geometry.zeros_vma((b,), dtype, *like))
     (d_t, d_r, d_ow), (d_p_k, d_pw_k) = lax.scan(
         step, carry0, (pts_k, pw_k, valid_k))
 

@@ -1,0 +1,162 @@
+"""`shard_map`-based multi-device rasterisation over a ("poses", "points") mesh.
+
+Sharding layout (SURVEY §7.5; the TPU-native replacement for the reference's
+atomics/thread-slabs, see `dprast.parallel` module docstring):
+
+    points       (P, N_in)        sharded over "points", replicated over "poses"
+    point_weight (P,)             sharded over "points"
+    rotation     (B, N_out, N_in) sharded over "poses",  replicated over "points"
+    translation  (B, N_out)       sharded over "poses"
+    background   (B,)             sharded over "poses"
+    out_weight   (B,)             sharded over "poses"
+    output       (B, *grid)       sharded over "poses",  replicated over "points"
+
+Forward: every points-shard rasterises its point subset into a full partial
+image per local pose (background excluded), the partials are `psum`-reduced
+over the "points" axis, and the per-pose background is added once after the
+reduction.  Backward (derived automatically by JAX from the vma-typed
+forward): point gradients are shard-local then `psum`-ed over "poses";
+pose gradients (rotation/translation/out_weight) are `psum`-ed over "points";
+background gradients need no collective at all.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dprast import ad, api
+from dprast.ops import dispatch
+
+POSES_AXIS = "poses"
+POINTS_AXIS = "points"
+
+
+def make_mesh(n_poses_shards: int | None = None,
+              n_points_shards: int | None = None,
+              devices=None) -> Mesh:
+    """A 2-axis device mesh ("poses", "points").
+
+    Defaults: all available devices on the "poses" axis (pose batches are the
+    embarrassingly-parallel axis, like the reference's CPU batch chunking,
+    `src/raster_pullback.jl:117`), one "points" shard.
+    """
+    devices = jax.devices() if devices is None else list(devices)
+    n = len(devices)
+    if n_poses_shards is None and n_points_shards is None:
+        n_poses_shards, n_points_shards = n, 1
+    elif n_poses_shards is None:
+        n_poses_shards = n // n_points_shards
+    elif n_points_shards is None:
+        n_points_shards = n // n_poses_shards
+    if n_poses_shards * n_points_shards != n:
+        raise ValueError(
+            f"mesh {n_poses_shards}x{n_points_shards} != {n} devices")
+    import numpy as np
+
+    dev_grid = np.asarray(devices).reshape(n_poses_shards, n_points_shards)
+    return Mesh(dev_grid, (POSES_AXIS, POINTS_AXIS))
+
+
+def _pad_to_multiple(x, multiple, axis=0, fill=0.0):
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def shard_raster_args(mesh: Mesh, points, rotation, translation, background,
+                      out_weight, point_weight):
+    """Pad canonical batched args to shardable sizes and place them on the
+    mesh with the module-level layout.  Padded points get weight 0 (their
+    splats are dropped by the zero weight, not by masking); the pose batch
+    must divide evenly (pad poses yourself if needed).
+
+    Returns (placed 6-tuple, original n_points).
+    """
+    np_shards = mesh.shape[POINTS_AXIS]
+    nb_shards = mesh.shape[POSES_AXIS]
+    p = points.shape[0]
+    if rotation.shape[0] % nb_shards:
+        raise ValueError(
+            f"pose batch {rotation.shape[0]} not divisible by the "
+            f"{POSES_AXIS!r} mesh axis ({nb_shards})")
+    points = _pad_to_multiple(points, np_shards)
+    point_weight = _pad_to_multiple(point_weight, np_shards)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    placed = (
+        put(points, P(POINTS_AXIS, None)),
+        put(rotation, P(POSES_AXIS, None, None)),
+        put(translation, P(POSES_AXIS, None)),
+        put(background, P(POSES_AXIS)),
+        put(out_weight, P(POSES_AXIS)),
+        put(point_weight, P(POINTS_AXIS)),
+    )
+    return placed, p
+
+
+def raster_sharded(grid_size, points, rotation, translation, background=None,
+                   out_weight=None, point_weight=None, *, mesh: Mesh,
+                   dtype=None, backend: str = "auto"):
+    """Differentiable multi-device rasterisation.
+
+    Same semantics as :func:`dprast.raster` on batched args, executed as a
+    `jax.shard_map` over `mesh` (axes "poses" and "points").  Inputs may be
+    numpy/unplaced (they will be padded + placed via
+    :func:`shard_raster_args`) or already placed with the documented layout.
+
+    Returns a (B, *grid_size) array sharded over the "poses" axis.
+    """
+    grid_size, args, batched = api._normalise(
+        grid_size, points, rotation, translation, background, out_weight,
+        point_weight, dtype)
+    if not batched:
+        raise ValueError("raster_sharded requires batched poses")
+    args, n_points = shard_raster_args(mesh, *args)
+    resolved = dispatch.resolve(backend, len(grid_size))
+    return _raster_shard_map(grid_size, resolved, mesh, *args)
+
+
+def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
+                      background, out_weight, point_weight):
+    n_out = len(grid_size)
+
+    def vary(x, axis):
+        return lax.pcast(x, axis, to="varying")
+
+    def local(pts, rot, tr, bg, ow, pw):
+        # Cross-axis operands: points vary over "points", poses over "poses";
+        # the kernel output varies over both until the psum.
+        pts = vary(pts, POSES_AXIS)
+        pw = vary(pw, POSES_AXIS)
+        rot = vary(rot, POINTS_AXIS)
+        tr = vary(tr, POINTS_AXIS)
+        ow = vary(ow, POINTS_AXIS)
+        zero_bg = jnp.zeros_like(vary(bg, POINTS_AXIS))
+        partial = ad.raster_canonical(grid_size, backend, pts, rot, tr,
+                                      zero_bg, ow, pw)
+        # Replaces the reference's atomic adds on the shared output image
+        # (src/raster.jl:64): partial per-shard images, one ICI reduction.
+        total = lax.psum(partial, POINTS_AXIS)
+        return total + bg.reshape((-1,) + (1,) * n_out)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(POINTS_AXIS, None), P(POSES_AXIS, None, None),
+                  P(POSES_AXIS, None), P(POSES_AXIS), P(POSES_AXIS),
+                  P(POINTS_AXIS)),
+        out_specs=P(POSES_AXIS, *([None] * n_out)),
+    )
+    return fn(points, rotation, translation, background, out_weight,
+              point_weight)

@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone does not win over pre-registered platform plugins
+# (e.g. the 'axon' TPU tunnel); the config update does.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,144 @@
+"""AD correctness: finite-difference checks + backend agreement.
+
+The `jax.test_util.check_grads` items are the analogue of the reference's
+`ChainRulesTestUtils.test_rrule` finite-difference suite
+(`test/chainrules.jl:2-90`): single + batched, 3D→3D and 3D→2D projection,
+with and without optional args.  Backend cross-agreement is the analogue of
+`cuda_cpu_agree` (`test/util.jl:1-34`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+import dprast
+from dprast.ops import core, splat_matmul
+from dprast.utils.testing import fixtures, tree_allclose
+
+GRID = (8, 8)
+
+
+def _fx(n_in=3, n_out=2, n_points=16, batch=5, seed=1):
+    fx = fixtures(seed=seed, n_points=n_points, batch_size=batch, n_in=n_in,
+                  n_out=n_out)
+    return {k: jnp.asarray(v) for k, v in fx.items()}
+
+
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+@pytest.mark.parametrize("n_in,n_out", [(2, 2), (3, 2), (3, 3)])
+def test_check_grads_batched(backend, n_in, n_out):
+    fx = _fx(n_in=n_in, n_out=n_out)
+    grid = (8,) * n_out
+
+    def f(points, rotation, translation, background, out_weight,
+          point_weight):
+        return dprast.raster(grid, points, rotation, translation, background,
+                             out_weight, point_weight, backend=backend)
+
+    # order=1 only: the forward is piecewise-bilinear in the pose args, so
+    # second derivatives are discontinuous at voxel boundaries (same reason
+    # the reference only tests the rrule, not second order).
+    check_grads(f, tuple(fx.values()), order=1, modes=["rev"], atol=1e-6,
+                rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_check_grads_single_pose(backend):
+    fx = _fx(n_in=3, n_out=2, batch=1)
+
+    def f(points, rotation, translation):
+        return dprast.raster(GRID, points, rotation[0], translation[0],
+                             backend=backend)
+
+    check_grads(f, (fx["points"], fx["rotation"], fx["translation"]),
+                order=1, modes=["rev"], atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_in,n_out", [(2, 2), (3, 2), (3, 3), (4, 3)])
+def test_backends_agree(n_in, n_out):
+    """matmul backend ≡ xla oracle, forward and full pullback
+    (the cuda_cpu_agree analogue, reference test/cuda.jl:2-74)."""
+    fx = _fx(n_in=n_in, n_out=n_out, n_points=64, batch=7)
+    grid = (6,) * n_out
+    args = tuple(fx.values())
+    out_x = core.raster_fwd(grid, *args)
+    out_m = splat_matmul.raster_fwd(grid, *args)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_x),
+                               rtol=1e-9, atol=1e-9)
+    g = jnp.asarray(
+        np.random.default_rng(9).standard_normal(out_x.shape))
+    pb_x = core.raster_pullback(grid, *args, g)
+    pb_m = splat_matmul.raster_pullback(grid, *args, g)
+    assert tree_allclose(pb_m, pb_x, rtol=1e-8, atol=1e-8)
+
+
+def test_grad_matches_analytic_pullback():
+    """jax.grad through `raster` == the public `raster_pullback` on the same
+    cotangent (the reference's rrule-vs-raster_pullback! contract,
+    `ext/DiffPointRasterisationChainRulesCoreExt.jl:48-74`)."""
+    fx = _fx()
+    args = tuple(fx.values())
+    out = dprast.raster(GRID, *args)
+    g = jnp.asarray(np.random.default_rng(2).standard_normal(out.shape))
+
+    def loss(*a):
+        return jnp.sum(dprast.raster(GRID, *a) * g)
+
+    grads = jax.grad(loss, argnums=tuple(range(6)))(*args)
+    pb = dprast.raster_pullback(g, *args)
+    assert tree_allclose(tuple(grads), tuple(pb), rtol=1e-9, atol=1e-9)
+
+
+def test_batched_equals_loop_of_singles():
+    """Batched forward/pullback ≡ per-pose loop (the reference's threaded
+    consistency items, `src/raster.jl:383-431`,
+    `src/raster_pullback.jl:271-345`)."""
+    fx = _fx(n_points=32, batch=7)
+    out_b = dprast.raster(GRID, *fx.values())
+    g = jnp.asarray(np.random.default_rng(5).standard_normal(out_b.shape))
+    pb_b = dprast.raster_pullback(g, *fx.values())
+
+    d_points = jnp.zeros_like(fx["points"])
+    d_pw = jnp.zeros_like(fx["point_weight"])
+    for i in range(out_b.shape[0]):
+        out_i = dprast.raster(GRID, fx["points"], fx["rotation"][i],
+                              fx["translation"][i], fx["background"][i],
+                              fx["out_weight"][i], fx["point_weight"])
+        np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_b[i]),
+                                   rtol=1e-9, atol=1e-9)
+        pb_i = dprast.raster_pullback(g[i], fx["points"], fx["rotation"][i],
+                                      fx["translation"][i],
+                                      fx["background"][i],
+                                      fx["out_weight"][i],
+                                      fx["point_weight"])
+        d_points = d_points + pb_i.points
+        d_pw = d_pw + pb_i.point_weight
+        np.testing.assert_allclose(np.asarray(pb_i.rotation),
+                                   np.asarray(pb_b.rotation[i]), rtol=1e-8,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(pb_i.translation),
+                                   np.asarray(pb_b.translation[i]),
+                                   rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d_points),
+                               np.asarray(pb_b.points), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d_pw),
+                               np.asarray(pb_b.point_weight), rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_jit_vmap_compose():
+    """raster composes with jit and vmap over an extra leading axis."""
+    fx = _fx()
+
+    @jax.jit
+    def f(pts):
+        return dprast.raster(GRID, pts, fx["rotation"], fx["translation"])
+
+    out = f(fx["points"])
+    many = jnp.stack([fx["points"], fx["points"] * 0.5])
+    out_v = jax.vmap(f)(many)
+    assert out_v.shape == (2,) + out.shape
+    np.testing.assert_allclose(np.asarray(out_v[0]), np.asarray(out),
+                               rtol=1e-12, atol=1e-12)

@@ -1,0 +1,70 @@
+"""Sharded-vs-single-device consistency on a virtual 8-device CPU mesh.
+
+This is the TPU analogue of the reference's "parallel correctness" strategy
+(`src/raster_pullback.jl:271-345`: threaded batched pullback ≡ serial loop;
+`test/data.jl:5-11`: batch size coprime to worker count to exercise uneven
+chunking).  Determinism across shardings also plays the role of the
+reference's race-freedom validation (SURVEY §5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dprast
+from dprast.parallel import make_mesh, raster_sharded
+from dprast.utils.testing import fixtures
+
+GRID2 = (16, 16)
+MESHES = [(8, 1), (1, 8), (4, 2), (2, 4)]
+
+
+def _args(n_points=37, batch=8, n_in=3, n_out=2):
+    # n_points deliberately not divisible by any points-shard count
+    # (padding path), batch divisible by every poses-shard count.
+    fx = fixtures(seed=3, n_points=n_points, batch_size=batch, n_in=n_in,
+                  n_out=n_out)
+    return fx
+
+
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_forward_matches_single_device(mesh_shape):
+    fx = _args()
+    mesh = make_mesh(*mesh_shape)
+    out_sharded = raster_sharded(GRID2, **fx, mesh=mesh)
+    out_ref = dprast.raster(GRID2, **fx)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_grads_match_single_device(mesh_shape):
+    fx = _args()
+    mesh = make_mesh(*mesh_shape)
+    keys = ("points", "rotation", "translation", "background", "out_weight",
+            "point_weight")
+    vals = tuple(jnp.asarray(fx[k]) for k in keys)
+
+    def loss_sharded(*args):
+        out = raster_sharded(GRID2, *args, mesh=mesh)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_single(*args):
+        out = dprast.raster(GRID2, *args)
+        return jnp.sum(jnp.sin(out))
+
+    g_sh = jax.grad(loss_sharded, argnums=tuple(range(6)))(*vals)
+    g_si = jax.grad(loss_single, argnums=tuple(range(6)))(*vals)
+    for name, a, b in zip(keys, g_sh, g_si):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9,
+                                   atol=1e-10, err_msg=f"grad {name}")
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 3)
+    mesh = make_mesh(8, 1)
+    fx = _args(batch=7)  # 7 poses not divisible by 8
+    with pytest.raises(ValueError):
+        raster_sharded(GRID2, **fx, mesh=mesh)
