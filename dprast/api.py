@@ -189,7 +189,7 @@ def raster(grid_size, points, rotation, translation, background=None,
     grid_size, args, batched = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
-    resolved = dispatch.resolve(backend, len(grid_size))
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     out = ad.raster_canonical(grid_size, resolved, *args)
     return out if batched else out[0]
 
@@ -220,7 +220,7 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
         raise ValueError(
             f"ds_dout shape {ds_dout.shape} does not match output shape "
             f"{(args[1].shape[0],) + grid_size}")
-    resolved = dispatch.resolve(backend, len(grid_size))
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     res = dispatch.bwd_fn(resolved)(grid_size, *args,
                                     ds_dout.astype(args[0].dtype))
     d_points, d_rot, d_trans, d_bg, d_ow, d_pw = res

@@ -118,18 +118,23 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     g = jax.vmap(gather_one)(g_flat, idx_flat).reshape(idx_flat.shape)  # (B,P,S)
 
     gw = g * wsplat
-    ds_dout_weight = jnp.einsum("bps,p->b", gw, point_weight)
-    ds_dpoint_weight = jnp.einsum("bps,b->p", gw, out_weight)
+    ds_dout_weight = jnp.einsum("bps,p->b", gw, point_weight,
+                                precision=jax.lax.Precision.HIGHEST)
+    ds_dpoint_weight = jnp.einsum("bps,b->p", gw, out_weight,
+                                  precision=jax.lax.Precision.HIGHEST)
 
     factor = g * (out_weight[:, None] * point_weight[None, :])[..., None]
     dw_ddl = geometry.splat_weight_grads(dl, shifts)  # (B,P,S,N_out)
-    ds_du = jnp.einsum("bps,bpsn->bpn", factor, dw_ddl)
+    ds_du = jnp.einsum("bps,bpsn->bpn", factor, dw_ddl,
+                       precision=jax.lax.Precision.HIGHEST)
     scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
     scaled = ds_du * scale  # (B, P, N_out)
 
     ds_dtranslation = jnp.sum(scaled, axis=1)
-    ds_drotation = jnp.einsum("bpo,pi->boi", scaled, points)
-    ds_dpoints = jnp.einsum("boi,bpo->pi", rotation, scaled)
+    ds_drotation = jnp.einsum("bpo,pi->boi", scaled, points,
+                              precision=jax.lax.Precision.HIGHEST)
+    ds_dpoints = jnp.einsum("boi,bpo->pi", rotation, scaled,
+                            precision=jax.lax.Precision.HIGHEST)
     ds_dbackground = jnp.sum(g_flat, axis=-1)
 
     return PullbackResult(

@@ -9,37 +9,29 @@ a *kernel strategy*:
 - ``"xla"``     pure-jnp scatter/gather oracle (`dprast.ops.core`) — any dims
 - ``"matmul"``  scatter-free MXU contraction (`dprast.ops.splat_matmul`)
 - ``"pallas"``  fused Pallas TPU kernels (`dprast.ops.pallas_splat`)
-- ``"auto"``    best available for the given dims / platform
+- ``"auto"``    best available for the given dims / grid / platform
 """
 
 from __future__ import annotations
 
 import jax
 
-from dprast.ops import core, splat_matmul
+from dprast.ops import core, pallas_splat, splat_matmul
 
 _REGISTRY = {}
 
 
 def register(name: str, fwd, bwd, supports):
+    """supports: (n_out, grid_size | None) -> bool."""
     _REGISTRY[name] = (fwd, bwd, supports)
 
 
-register("xla", core.raster_fwd, core.raster_pullback, lambda n_out: True)
+register("xla", core.raster_fwd, core.raster_pullback,
+         lambda n_out, grid=None: True)
 register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
-         splat_matmul.supported)
-
-
-def _try_register_pallas():
-    try:
-        from dprast.ops import pallas_splat  # noqa: PLC0415
-    except ImportError:
-        return
-    register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
-             pallas_splat.supported)
-
-
-_try_register_pallas()
+         lambda n_out, grid=None: splat_matmul.supported(n_out))
+register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
+         pallas_splat.supported)
 
 
 def available_backends() -> tuple[str, ...]:
@@ -57,21 +49,23 @@ def _on_tpu() -> bool:
         return False
 
 
-def resolve(backend: str, n_out: int) -> str:
-    """Map 'auto' to a concrete strategy for the given output rank."""
+def resolve(backend: str, n_out: int, grid_size=None) -> str:
+    """Map 'auto' to a concrete strategy for the given output rank/grid."""
     if backend != "auto":
         if backend not in _REGISTRY:
             raise ValueError(
                 f"Unknown backend {backend!r}; available: {available_backends()}")
         _, _, supports = _REGISTRY[backend]
-        if not supports(n_out):
+        if not supports(n_out, grid_size):
             raise ValueError(
-                f"Backend {backend!r} does not support N_out={n_out}")
+                f"Backend {backend!r} does not support N_out={n_out} "
+                f"grid={grid_size}")
         return backend
-    if "pallas" in _REGISTRY and _on_tpu():
-        _, _, supports = _REGISTRY["pallas"]
-        if supports(n_out):
-            return "pallas"
+    # Compiled Pallas index maps trace literals as i64 under global x64,
+    # which Mosaic cannot legalize — fall back to the matmul path there.
+    if (_on_tpu() and not jax.config.jax_enable_x64
+            and _REGISTRY["pallas"][2](n_out, grid_size)):
+        return "pallas"
     if splat_matmul.supported(n_out):
         return "matmul"
     return "xla"

@@ -62,8 +62,14 @@ def transform_points(points: jnp.ndarray, rotation: jnp.ndarray,
 
     points: (P, N_in); rotation: (B, N_out, N_in); translation: (B, N_out)
     → (B, P, N_out).  (reference `src/raster.jl:88` ``projected_point``)
+
+    Always full precision: on TPU a DEFAULT-precision (bf16) contraction
+    here would perturb coordinates by ~4e-3 relative and flip reference
+    voxels — a discrete, precision-knob-proof error.  The contraction is
+    K = N_in ≤ 4, so this costs nothing.
     """
-    q = jnp.einsum("boi,pi->bpo", rotation, points)
+    q = jnp.einsum("boi,pi->bpo", rotation, points,
+                   precision=jax.lax.Precision.HIGHEST)
     return q + translation[:, None, :]
 
 

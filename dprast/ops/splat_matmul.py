@@ -200,16 +200,19 @@ def raster_pullback(grid_size, points, rotation, translation, background,
             ds_du = jnp.stack([ds_du_z, ds_du_y, ds_du_x], axis=-1)
 
         # weight gradients from gW = sum_s g · W_s  per (b, p)
-        d_ow = jnp.einsum("bp,p->b", gW, pw_c)
-        d_pw = jnp.einsum("bp,b->p", gW, out_weight)
+        d_ow = jnp.einsum("bp,p->b", gW, pw_c, precision=precision)
+        d_pw = jnp.einsum("bp,b->p", gW, out_weight,
+                          precision=precision)
 
         scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
         coeff = (out_weight[:, None] * pw_c[None, :])[..., None]
         scaled = ds_du * coeff * scale  # (B, Pc, N_out)
 
         d_t = jnp.sum(scaled, axis=1)                                # (B, N_out)
-        d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c)
-        d_p = jnp.einsum("boi,bpo->pi", rotation, scaled)            # (Pc, N_in)
+        d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c,
+                         precision=precision)
+        d_p = jnp.einsum("boi,bpo->pi", rotation, scaled,
+                         precision=precision)               # (Pc, N_in)
 
         c_t, c_r, c_ow = carry
         return (c_t + d_t, c_r + d_r, c_ow + d_ow), (d_p, d_pw)

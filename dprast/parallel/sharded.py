@@ -123,7 +123,7 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
     if not batched:
         raise ValueError("raster_sharded requires batched poses")
     args, n_points = shard_raster_args(mesh, *args)
-    resolved = dispatch.resolve(backend, len(grid_size))
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     return _raster_shard_map(grid_size, resolved, mesh, *args)
 
 

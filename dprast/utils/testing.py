@@ -49,6 +49,93 @@ def fixtures(seed=0, n_points=10, batch_size=None, n_in=3, n_out=None,
     )
 
 
+def raster_numpy(grid_size, points, rotation, translation, background,
+                 out_weight, point_weight):
+    """Independent float64 numpy oracle for the forward splat — a direct
+    transcription of the reference semantics (`src/raster.jl:36-108`) with
+    explicit loops, sharing no code with the jax backends.
+
+    Canonical batched args -> (B, *grid_size) float64.
+    """
+    points = np.asarray(points, np.float64)
+    rotation = np.asarray(rotation, np.float64)
+    translation = np.asarray(translation, np.float64)
+    background = np.asarray(background, np.float64)
+    out_weight = np.asarray(out_weight, np.float64)
+    point_weight = np.asarray(point_weight, np.float64)
+    b = rotation.shape[0]
+    n_out = len(grid_size)
+    out = np.empty((b,) + tuple(grid_size))
+    sizes = np.asarray(grid_size)
+    for ib in range(b):
+        out[ib] = background[ib]
+        q = points @ rotation[ib].T + translation[ib]        # (P, n_out)
+        u = (q + 1.0) * (sizes / 2.0) - 0.5
+        r0 = np.ceil(u) - 1
+        dl = u - r0
+        for s in range(2 ** n_out):
+            shift = [(s >> i) & 1 for i in range(n_out)]
+            idx = (r0 + shift).astype(np.int64)              # (P, n_out)
+            wgt = out_weight[ib] * point_weight.copy()
+            for i in range(n_out):
+                wgt = wgt * np.where(shift[i], dl[:, i], 1 - dl[:, i])
+            ok = np.all((idx >= 0) & (idx < sizes), axis=1)
+            np.add.at(out[ib], tuple(idx[ok].T), wgt[ok])
+    return out
+
+
+def raster_pullback_numpy(grid_size, points, rotation, translation,
+                          background, out_weight, point_weight, ds_dout):
+    """Independent float64 numpy oracle for the analytic pullback — direct
+    transcription of `src/raster_pullback.jl:39-81`.  Returns a dict with
+    the six gradient arrays."""
+    points = np.asarray(points, np.float64)
+    rotation = np.asarray(rotation, np.float64)
+    translation = np.asarray(translation, np.float64)
+    out_weight = np.asarray(out_weight, np.float64)
+    point_weight = np.asarray(point_weight, np.float64)
+    g = np.asarray(ds_dout, np.float64)
+    b = rotation.shape[0]
+    p, n_in = points.shape
+    n_out = len(grid_size)
+    sizes = np.asarray(grid_size)
+    d_points = np.zeros((p, n_in))
+    d_rot = np.zeros_like(rotation)
+    d_tr = np.zeros_like(translation)
+    d_bg = g.reshape(b, -1).sum(axis=1)
+    d_ow = np.zeros(b)
+    d_pw = np.zeros(p)
+    scale = sizes / 2.0
+    for ib in range(b):
+        q = points @ rotation[ib].T + translation[ib]
+        u = (q + 1.0) * scale - 0.5
+        r0 = np.ceil(u) - 1
+        dl = u - r0
+        ds_du = np.zeros((p, n_out))
+        for s in range(2 ** n_out):
+            shift = [(s >> i) & 1 for i in range(n_out)]
+            idx = (r0 + shift).astype(np.int64)
+            ok = np.all((idx >= 0) & (idx < sizes), axis=1)
+            gv = np.zeros(p)
+            gv[ok] = g[ib][tuple(idx[ok].T)]
+            wsel = np.stack([np.where(shift[i], dl[:, i], 1 - dl[:, i])
+                             for i in range(n_out)], axis=1)  # (P, n_out)
+            w = wsel.prod(axis=1)
+            d_ow[ib] += np.sum(gv * w * point_weight)
+            d_pw += gv * w * out_weight[ib]
+            for i in range(n_out):
+                exact = np.prod(np.delete(wsel, i, axis=1), axis=1)
+                sign = 1.0 if shift[i] else -1.0
+                ds_du[:, i] += gv * sign * exact * out_weight[ib] \
+                    * point_weight
+        scaled = ds_du * scale                                # (P, n_out)
+        d_tr[ib] = scaled.sum(axis=0)
+        d_rot[ib] = scaled.T @ points
+        d_points += scaled @ rotation[ib]
+    return dict(points=d_points, rotation=d_rot, translation=d_tr,
+                background=d_bg, out_weight=d_ow, point_weight=d_pw)
+
+
 def tree_allclose(a, b, rtol=1e-5, atol=1e-7):
     """Field-wise comparison of PullbackResult/RasterGrads-like tuples
     (the reference's `cuda_cpu_agree`, `test/util.jl:6-34`)."""
