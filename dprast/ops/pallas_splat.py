@@ -32,10 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dprast.ops.core import PullbackResult
 
-# Mosaic dot_general supports only DEFAULT (1-pass bf16) and HIGHEST
-# (f32-faithful) in-kernel; HIGHEST is required for the 1e-5 parity target.
-# (A manual hi/lo bf16-split scheme could recover the bf16x3 sweet spot.)
-_PRECISION = lax.Precision.HIGHEST
+# Precision modes for the in-kernel matmuls:
+#
+# - "split" (default): exact-one-hot bf16 formulation.  The one-hot factor
+#   is {0,1}-valued and therefore EXACT in bf16; the coefficient-bearing
+#   factor is split into hi+lo bf16 parts (error ~2^-18 relative, i.e.
+#   ~4e-6 — under the 1e-5 parity target) and both matmuls run at the full
+#   native bf16 MXU rate with f32 accumulation.  ~2x faster than HIGHEST.
+# - lax.Precision.HIGHEST: f32-faithful multi-pass matmuls.
+# - lax.Precision.DEFAULT: 1-pass bf16 on the f32 factors (~4e-3 error).
+#
+# (Mosaic does not support lax.Precision.HIGH in-kernel.)
+_PRECISION = "split"
 
 _DEF_CHUNK = 1024
 
@@ -114,6 +122,56 @@ def _fwd_kernel(pts_ref, rot_ref, tr_ref, bgow_ref, pw_ref, out_ref, *,
         out_ref[0] = out_ref[0] + s
 
 
+def _fwd_kernel_split(pts_ref, ptst_ref, rot_ref, tr_ref, bgow_ref, pw_ref,
+                      out_ref, *, grid_size):
+    """Split-mode forward: S = O_y^T @ [c0*Bx ; c1*Bx] with the stacked
+    one-hot O exact in bf16 and the coefficient factor split hi+lo bf16."""
+    h, w = grid_size
+    k = pl.program_id(1)
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    pts = pts_ref[...]                       # (C, N_in)
+    ptst = ptst_ref[...]                     # (N_in, C)
+    rot = rot_ref[0]                         # (2, N_in)
+    c = pts.shape[0]
+
+    # both orientations of the transformed coords, no in-kernel transposes
+    q = lax.dot_general(pts, rot, (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=f32)          # (C, 2)
+    qt = lax.dot_general(rot, ptst, (((1,), (0,)), ((), ())),
+                         precision=lax.Precision.HIGHEST,
+                         preferred_element_type=f32)         # (2, C)
+    ty, tx = tr_ref[0, 0, 0], tr_ref[0, 0, 1]
+    uy_row = (qt[0:1, :] + ty + 1.0) * (h / 2) - 0.5          # (1, C)
+    uy_col = (q[:, 0:1] + ty + 1.0) * (h / 2) - 0.5           # (C, 1)
+    ux_col = (q[:, 1:2] + tx + 1.0) * (w / 2) - 0.5           # (C, 1)
+
+    r0y_row = jnp.ceil(uy_row) - 1                            # (1, C)
+    r0cat = jnp.concatenate([r0y_row, r0y_row + 1], axis=1)   # (1, 2C)
+    iota_h = lax.broadcasted_iota(jnp.int32, (h, 2 * c), 0)
+    o_t = (iota_h == r0cat.astype(jnp.int32)).astype(bf16)    # (H, 2C) exact
+
+    dly_col = uy_col - (jnp.ceil(uy_col) - 1)                 # (C, 1)
+    bx, _ = _axis_onehot(ux_col, w)                           # (C, W) f32
+    wgt = pw_ref[...] * bgow_ref[0, 0, 1]                     # (C, 1)
+    b_stack = jnp.concatenate(
+        [(1 - dly_col) * wgt * bx, dly_col * wgt * bx], axis=0)  # (2C, W)
+    b_hi = b_stack.astype(bf16)
+    b_lo = (b_stack - b_hi.astype(f32)).astype(bf16)
+
+    dims = (((1,), (0,)), ((), ()))
+    s = (lax.dot_general(o_t, b_hi, dims, preferred_element_type=f32)
+         + lax.dot_general(o_t, b_lo, dims, preferred_element_type=f32))
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = s + bgow_ref[0, 0, 0]
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[0] = out_ref[0] + s
+
+
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int = _DEF_CHUNK,
                precision=_PRECISION, interpret: bool | None = None):
@@ -130,12 +188,24 @@ def raster_fwd(grid_size, points, rotation, translation, background,
     bgow = jnp.stack([background.astype(f32), out_weight.astype(f32)],
                      axis=1)[:, None, :]  # (B, 1, 2) per-pose SMEM scalars
 
+    split = precision == "split"
+    if split:
+        kernel = functools.partial(_fwd_kernel_split, grid_size=(h, w))
+        extra_specs = [pl.BlockSpec((n_in, chunk), lambda b, j: (0, j),
+                                    memory_space=pltpu.VMEM)]
+        extra_args = [pts.T]
+    else:
+        kernel = functools.partial(_fwd_kernel, grid_size=(h, w),
+                                   precision=precision)
+        extra_specs, extra_args = [], []
+
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_size=(h, w), precision=precision),
+        kernel,
         grid=(bsz, k),
         in_specs=[
             pl.BlockSpec((chunk, n_in), lambda b, j: (j, 0),
                          memory_space=pltpu.VMEM),
+            *extra_specs,
             pl.BlockSpec((1, 2, n_in), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
@@ -149,7 +219,7 @@ def raster_fwd(grid_size, points, rotation, translation, background,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w), f32),
         interpret=interpret,
-    )(pts, rotation.astype(f32),
+    )(pts, *extra_args, rotation.astype(f32),
       translation.astype(f32)[:, None, :], bgow, pw[:, None])
     dtype = jnp.result_type(points, rotation, translation)
     return out.astype(dtype)
@@ -182,7 +252,16 @@ def _bwd_kernel(pts_ref, rot_ref, tr_ref, ow_ref, pw_ref, g_ref,
     gw = jnp.sum(v1 * bf, axis=1, keepdims=True)        # (C,1) sum_s g*W_s
     dy = jnp.sum(da * u0, axis=1, keepdims=True)        # ds/du_y / (ow*pw)
     dx = jnp.sum(v1 * db, axis=1, keepdims=True)
+    _bwd_finish(gw, dy, dx, pts, rot, ow_ref, pw_ref, dpts_ref, dpw_ref,
+                dt_ref, dr_ref, dow_ref, grid_size=(h, w), b=b)
 
+
+def _bwd_finish(gw, dy, dx, pts, rot, ow_ref, pw_ref, dpts_ref, dpw_ref,
+                dt_ref, dr_ref, dow_ref, *, grid_size, b):
+    """Shared backward tail: per-(chunk, pose) contractions to the six
+    gradients (reference `src/raster_pullback.jl:55-72`), with point grads
+    accumulated across the inner pose axis in the resident output block."""
+    h, w = grid_size
     ow = ow_ref[0, 0, 0]
     pw = pw_ref[...]                                    # (C, 1)
     coeff = ow * pw
@@ -210,6 +289,49 @@ def _bwd_kernel(pts_ref, rot_ref, tr_ref, ow_ref, pw_ref, g_ref,
         dpw_ref[...] = dpw_ref[...] + d_pw
 
 
+def _bwd_kernel_split(pts_ref, rot_ref, tr_ref, ow_ref, pw_ref, g_ref,
+                      dpts_ref, dpw_ref, dt_ref, dr_ref, dow_ref, *,
+                      grid_size):
+    """Split-mode backward: res = [O0y ; O1y] @ (g_hi + g_lo) with the
+    stacked one-hot exact in bf16 and the cotangent split hi+lo bf16
+    in-kernel; everything downstream of the two full-rate matmuls is
+    elementwise."""
+    h, w = grid_size
+    b = pl.program_id(1)
+    f32 = jnp.float32
+    g = g_ref[0]                             # (H, W) f32
+    g_hi = g.astype(jnp.bfloat16)
+    g_lo = (g - g_hi.astype(f32)).astype(jnp.bfloat16)
+    pts = pts_ref[...]                       # (C, N_in)
+    rot = rot_ref[0]                         # (2, N_in)
+    c = pts.shape[0]
+    q = lax.dot_general(pts, rot, (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=f32)
+    uy = (q[:, 0:1] + tr_ref[0, 0, 0] + 1.0) * (h / 2) - 0.5
+    ux = (q[:, 1:2] + tr_ref[0, 0, 1] + 1.0) * (w / 2) - 0.5
+    r0y = jnp.ceil(uy) - 1
+    dly = uy - r0y                                            # (C, 1)
+    r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)           # (2C, 1)
+    iota_c = lax.broadcasted_iota(jnp.int32, (2 * c, h), 1)
+    o = (iota_c == r0cat.astype(jnp.int32)).astype(jnp.bfloat16)  # (2C, H)
+
+    dims = (((1,), (0,)), ((), ()))
+    res = (lax.dot_general(o, g_hi, dims, preferred_element_type=f32)
+           + lax.dot_general(o, g_lo, dims,
+                             preferred_element_type=f32))     # (2C, W)
+    p0, p1 = res[:c], res[c:]
+    v1 = (1 - dly) * p0 + dly * p1                            # sum_h a*g
+    diff = p1 - p0                                            # sum_h da*g
+
+    bx, db = _axis_onehot(ux, w)                              # (C, W) f32
+    gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
+    dy = jnp.sum(diff * bx, axis=1, keepdims=True)
+    dx = jnp.sum(v1 * db, axis=1, keepdims=True)
+    _bwd_finish(gw, dy, dx, pts, rot, ow_ref, pw_ref, dpts_ref, dpw_ref,
+                dt_ref, dr_ref, dow_ref, grid_size=(h, w), b=b)
+
+
 def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int = _DEF_CHUNK, precision=_PRECISION,
@@ -226,8 +348,17 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                              chunk)
     g = ds_dout.astype(f32)
 
+    if precision == "split":
+        kernel = functools.partial(_bwd_kernel_split, grid_size=(h, w))
+    else:
+        kernel = functools.partial(_bwd_kernel, grid_size=(h, w),
+                                   precision=precision)
+    g_specs = [pl.BlockSpec((1, h, w), lambda j, b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)]
+    g_args = [g]
+
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_size=(h, w), precision=precision),
+        kernel,
         grid=(k, bsz),
         in_specs=[
             pl.BlockSpec((chunk, n_in), lambda j, b: (j, 0),
@@ -240,8 +371,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, 1), lambda j, b: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda j, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *g_specs,
         ],
         out_specs=[
             pl.BlockSpec((chunk, n_in), lambda j, b: (j, 0),
@@ -264,7 +394,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         ],
         interpret=interpret,
     )(pts, rotation.astype(f32), translation.astype(f32)[:, None, :],
-      out_weight.astype(f32)[:, None, None], pw[:, None], g)
+      out_weight.astype(f32)[:, None, None], pw[:, None], *g_args)
 
     d_pts_pad, d_pw_pad, d_t_k, d_r_k, d_ow_k = outs
     d_t_k = d_t_k[:, :, 0, :]
