@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax
 
-from dprast.ops import core, pallas_splat, splat_matmul
+from dprast.ops import core, pallas_splat, splat_matmul, splat_tiled
 
 _REGISTRY = {}
 
@@ -32,6 +32,8 @@ register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
          lambda n_out, grid=None: splat_matmul.supported(n_out))
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          pallas_splat.supported)
+register("tiled", splat_tiled.raster_fwd, splat_tiled.raster_pullback,
+         splat_tiled.supported)
 
 
 def available_backends() -> tuple[str, ...]:
@@ -63,9 +65,14 @@ def resolve(backend: str, n_out: int, grid_size=None) -> str:
         return backend
     # Compiled Pallas index maps trace literals as i64 under global x64,
     # which Mosaic cannot legalize — fall back to the matmul path there.
-    if (_on_tpu() and not jax.config.jax_enable_x64
-            and _REGISTRY["pallas"][2](n_out, grid_size)):
-        return "pallas"
+    if _on_tpu() and not jax.config.jax_enable_x64:
+        if _REGISTRY["pallas"][2](n_out, grid_size):
+            return "pallas"
+        # large tile-aligned grids: per-point MXU work would scale with
+        # H*W on the dense one-hot paths; the binned backend restores
+        # O(TILE^2) per point.
+        if grid_size is not None and _REGISTRY["tiled"][2](n_out, grid_size):
+            return "tiled"
     if splat_matmul.supported(n_out):
         return "matmul"
     return "xla"
