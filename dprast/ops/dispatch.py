@@ -64,14 +64,19 @@ def resolve(backend: str, n_out: int, grid_size=None) -> str:
                 f"grid={grid_size}")
         return backend
     # Compiled Pallas index maps trace literals as i64 under global x64,
-    # which Mosaic cannot legalize — fall back to the matmul path there.
-    if _on_tpu() and not jax.config.jax_enable_x64:
-        if _REGISTRY["pallas"][2](n_out, grid_size):
-            return "pallas"
-        # large tile-aligned grids: per-point MXU work would scale with
-        # H*W on the dense one-hot paths; the binned backend restores
-        # O(TILE^2) per point.
-        if grid_size is not None and _REGISTRY["tiled"][2](n_out, grid_size):
+    # which Mosaic cannot legalize — stick to the XLA paths there.
+    if _on_tpu() and not jax.config.jax_enable_x64 and grid_size is not None:
+        # Large tile-aligned grids: dense one-hot paths do O(prod(grid))
+        # MXU work per point; the binned backend restores O(tile) per
+        # point.  (Small grids stay on the XLA matmul path: measured
+        # faster than the fused Pallas kernel, whose VPU-side factor
+        # construction cannot be pipelined against the MXU the way XLA's
+        # separate fused kernels are.)
+        voxels = 1
+        for s in grid_size:
+            voxels *= s
+        big = voxels > (256 * 256 if n_out == 2 else 32 ** 3)
+        if big and _REGISTRY["tiled"][2](n_out, grid_size):
             return "tiled"
     if splat_matmul.supported(n_out):
         return "matmul"

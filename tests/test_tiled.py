@@ -93,6 +93,28 @@ def test_via_public_api():
     assert np.all(np.isfinite(np.asarray(g_t)))
 
 
+def test_3d_volume():
+    """3D->3D tiled rasterisation vs oracle, incl. all six grads."""
+    fx = fixtures(seed=5, n_points=150, batch_size=2, n_in=3, n_out=3)
+    grid = (16, 32, 128)
+    _check(tuple(fx.values()), grid=grid, chunk=64)
+
+
+def test_3d_tile_straddle():
+    """Stencils crossing z/y tile boundaries (tile (8,16,128))."""
+    us = np.array([
+        [7.5, 8.0, 64.0],    # z-straddle
+        [4.0, 15.5, 64.0],   # y-straddle
+        [7.5, 15.5, 64.0],   # zy-corner straddle
+        [0.1, 0.1, 0.1],     # grid-edge partial drop
+    ])
+    grid = (16, 32, 128)
+    q = (us + 0.5) / (np.asarray(grid) / 2) - 1.0
+    args = (q, np.eye(3)[None], np.zeros((1, 3)), np.zeros(1),
+            np.ones(1), np.arange(1.0, 5.0))
+    _check(args, grid=grid, chunk=64)
+
+
 def test_rejects_unaligned_grid():
     fx = fixtures(seed=1, n_points=10, batch_size=2, n_in=2, n_out=2)
     with pytest.raises(ValueError, match="tiled"):
