@@ -1,0 +1,125 @@
+"""Benchmark suite over the reference's headline table
+(`/root/reference/README.md:185-197`, mirrored in BASELINE.md).
+
+Prints one JSON line per config plus a summary table.  Timing is
+tunnel-safe: K data-dependent chained dispatches of a single-step jit, two
+K values linear-fitted (see bench.py for why `block_until_ready` cannot be
+trusted on remote-tunnelled devices).
+
+Usage: python benchmarks/run.py [--configs small2d,large2d,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms)
+CONFIGS = [
+    ("128sq_1e4", 10_000, 64, (128, 128), 3, 15.0, 1.0),
+    ("1024sq_1e4", 10_000, 64, (1024, 1024), 3, 16.0, 2.0),
+    ("128sq_1e5", 100_000, 64, (128, 128), 3, 153.0, 9.0),
+    ("1024sq_1e5", 100_000, 64, (1024, 1024), 3, 154.0, 10.0),
+    ("128cube_1e5", 100_000, 1, (128, 128, 128), 3, None, None),
+    ("1024cube_1e5", 100_000, 1, (1024, 1024, 1024), 3, 24.0, 17.0),
+]
+
+
+def _args_for(n_points, batch, grid, n_in):
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.normal(ks[0], (n_points, n_in), jnp.float32) * 0.4
+    n_out = len(grid)
+    rot = np.zeros((batch, n_out, n_in), np.float32)
+    angles = np.linspace(0, 2 * np.pi, batch, endpoint=False)
+    for i, a in enumerate(angles):
+        c, s = np.cos(a), np.sin(a)
+        r = np.eye(n_in, dtype=np.float32)
+        r[0, 0], r[0, -1], r[-1, 0], r[-1, -1] = c, -s, s, c
+        rot[i] = r[:n_out]
+    rot = jnp.asarray(rot)
+    tr = jax.random.normal(ks[1], (batch, n_out), jnp.float32) * 0.1
+    bg = jnp.zeros((batch,), jnp.float32)
+    ow = jnp.ones((batch,), jnp.float32)
+    pw = jax.random.uniform(ks[2], (n_points,), jnp.float32, 0.5, 2.0)
+    return pts, rot, tr, bg, ow, pw
+
+
+def _per_iter(f_jit, k1=2, k2=8):
+    import jax.numpy as jnp
+
+    float(f_jit(jnp.float32(0)))  # compile + warm
+
+    def chained(k):
+        c = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            c = f_jit(c)
+        float(c)
+        return time.perf_counter() - t0
+
+    b1 = min(chained(k1) for _ in range(2))
+    b2 = min(chained(k2) for _ in range(2))
+    return max((b2 - b1) / (k2 - k1), 1e-9)
+
+
+def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
+    import jax
+    import jax.numpy as jnp
+
+    from dprast.ops import dispatch
+
+    backend = dispatch.resolve("auto", len(grid), grid)
+    args = _args_for(n_points, batch, grid, n_in)
+    g = jax.random.normal(jax.random.PRNGKey(7), (batch,) + tuple(grid),
+                          jnp.float32)
+
+    pts, rot, tr, bg, ow, pw = args
+    fwd = jax.jit(lambda c: dispatch.fwd_fn(backend)(
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0])
+    bwd = jax.jit(lambda c: dispatch.bwd_fn(backend)(
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw, g).translation.ravel()[0])
+    t_fwd = _per_iter(fwd)
+    t_bwd = _per_iter(bwd)
+    splats = n_points * batch * 2 ** len(grid)
+    rec = {
+        "config": name, "backend": backend,
+        "t_fwd_ms": round(t_fwd * 1e3, 3), "t_bwd_ms": round(t_bwd * 1e3, 3),
+        "splats_per_s": splats / (t_fwd + t_bwd),
+    }
+    if ref_fwd is not None:
+        rec["vs_a100"] = round((ref_fwd + ref_bwd) / 1e3 / (t_fwd + t_bwd), 2)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args()
+    want = set(args.configs.split(",")) if args.configs else None
+    rows = []
+    for cfg in CONFIGS:
+        if want and cfg[0] not in want:
+            continue
+        try:
+            rows.append(run_config(*cfg))
+        except Exception as e:  # keep going; report the failure
+            print(json.dumps({"config": cfg[0], "error": str(e)[:200]}),
+                  flush=True)
+    print(f"\n{'config':<14} {'backend':<8} {'fwd ms':>9} {'bwd ms':>9} "
+          f"{'splats/s':>12} {'vs A100':>8}")
+    for r in rows:
+        print(f"{r['config']:<14} {r['backend']:<8} {r['t_fwd_ms']:>9.2f} "
+              f"{r['t_bwd_ms']:>9.2f} {r['splats_per_s']:>12.3e} "
+              f"{r.get('vs_a100', float('nan')):>8}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,32 +1,38 @@
-"""Tile-binned Pallas backend for LARGE 2D grids (e.g. 1024²).
+"""Tile-binned Pallas backend for LARGE grids (1024², 128³, …).
 
-The one-hot matmul formulation (`dprast.ops.splat_matmul`,
-`dprast.ops.pallas_splat`) does O(H·W) MXU work per point·pose, which is
-wasteful once the grid no longer fits a single MXU tile pair: at 1024² it
-is 64x the work of 128².  This backend restores O(T_y·T_x) per point·pose
-by binning splat candidates to 128x128 output tiles and rendering each
-tile from only its own candidates — the TPU-native analogue of the
-reference relying on global-memory atomics to make large grids "free"
-(`ext/DiffPointRasterisationCUDAExt.jl`; the reference never needed
-binning because atomic scatters don't care about output size).
+The dense one-hot matmul formulation (`dprast.ops.splat_matmul`,
+`dprast.ops.pallas_splat`) does O(prod(grid)) MXU work per point·pose; this
+backend restores O(tile) per point·pose by binning points to output tiles —
+the TPU-native answer to the reference making large grids "free" with
+global-memory atomics (`ext/DiffPointRasterisationCUDAExt.jl`).
 
-Pipeline (all inside jit):
+TPU-shaped design decisions (all measured on v5e):
 
-1. transform points (full precision), take the 4 stencil-corner tiles of
-   each point as *candidates*, dedup per point, drop out-of-grid corners
-   (reference drop semantics, `src/raster.jl:62`).
-2. bin candidates to tiles with ONE `argsort` per pose plus pure gathers
-   (no XLA scatters — TPU scatters serialise).  Each tile's segment is
-   padded to a multiple of the kernel chunk so Pallas instances never
-   read or write another tile's rows.
-3. Pallas kernel, grid (poses, tiles): each instance owns one 128x128
-   output tile in VMEM, DMAs its candidate rows from HBM chunk by chunk,
-   and renders them with the same exact-one-hot bf16-split matmuls as
-   `pallas_splat` (coordinates shifted to tile-local frame).
-4. backward: same structure; per-candidate point-gradient rows are
-   DMA-written back to HBM in slot order, gathered back to candidate
-   order in XLA (slots are computed with a gather-only inverse — no
-   scatter), and reduced over the 4 candidate copies and poses.
+- **No scatters, no gathers, no searchsorted.**  TPU serialises scatters
+  and large gathers (~70–400 ms per 4e5×16 on v5e) and vectorised
+  searchsorted is worse.  The ONLY data movement primitive used is
+  `lax.sort` with payload operands (13 ms for 9 operands × 4e5 × 16 — the
+  same cost as a bare argsort), plus dense compare/cumsum arithmetic for
+  the segment tables.
+- **One bin candidate per point** (the tile containing the reference
+  voxel, straddle encoded as a 2^n class in the sort key).  Each kernel
+  instance reads its own tile's segment plus the straddle classes of its
+  face/corner neighbours — work stays ≈ (1+ε)·P instead of 2^n·P.
+- **Over-read instead of align**: DMA windows are 128-aligned by rounding
+  OUTWARD; rows outside the wanted range are killed by a row mask folded
+  into the point weight (and by the tile-local one-hot for rows of other
+  tiles).  The backward's per-candidate gradient rows are written back
+  with 128-aligned segments (sort #2 pads each class segment to 128 rows
+  with inert fillers) so instance writes never touch another segment.
+- Rendering inside a tile uses the same exact-one-hot bf16-split matmuls
+  as `pallas_splat` (error ~2^-18, under the 1e-5 parity target, full
+  native bf16 MXU rate).
+
+Pipeline: forward = transform → classify → sort#1 (key = tile·2^n+class,
+payloads = coords/weight) → Pallas over (pose, tile).  Backward = the
+same + sort#2 (pad segments to 128) → Pallas (writes per-relation
+gradient buffers) → dense buffer sum → sort#3 by point id (the unsort —
+a sort is the TPU's fast permutation) → per-point reduce.
 """
 
 from __future__ import annotations
@@ -42,16 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dprast.ops.core import PullbackResult
 
-TILE = 128          # 2D output tile edge (both axes)
+TILE = 128          # 2D output tile edge
 _CHUNK = 512        # candidate rows per DMA/matmul step
-_PACKW = 8          # packed row: [u..., w, pts...] padded to 8 lanes
+_ALIGN = 128        # segment/DMA alignment (f32 lane tile)
+_PACKW = 8          # packed planes: [u..., w, ptidx, pts...]
 
 
 def tile_shape_for(grid_size):
-    """Per-axis tile shape.  2D: 128x128.  3D: a (t_z, t_y) plane tile of
-    at most 128 flattened rows (the MXU M dimension) x a full-lane x tile;
-    for very large x the tile widens so the tile COUNT stays tractable
-    (segment padding scales with it)."""
+    """Per-axis tile shape.  2D: 128x128.  3D: (t_z, t_y) plane tile of at
+    most 128 flattened rows x a full-lane x tile (widened for very large x
+    so the tile count stays tractable)."""
     if len(grid_size) == 2:
         return (TILE, TILE)
     gz, gy, gx = grid_size
@@ -66,9 +72,8 @@ def tile_shape_for(grid_size):
 
 
 def supported(n_out: int, grid_size=None) -> bool:
-    """Capability: tile-aligned 2D/3D grids.  (The auto-dispatch
-    additionally prefers this backend only for grids where per-point work
-    dominates — see `dispatch.resolve`.)"""
+    """Capability: tile-aligned 2D/3D grids (the auto-dispatch narrows
+    further to grids where per-point work dominates)."""
     if n_out not in (2, 3):
         return False
     if grid_size is not None:
@@ -76,6 +81,10 @@ def supported(n_out: int, grid_size=None) -> bool:
         if any(g % t for g, t in zip(grid_size, ts)):
             return False
         if len(grid_size) == 3 and ts[0] * ts[1] > 128:
+            return False
+        # the class-segment table must fit SMEM comfortably
+        nt = math.prod(g // t for g, t in zip(grid_size, ts))
+        if nt * 2 ** n_out + 1 > 16384:
             return False
     return True
 
@@ -88,7 +97,7 @@ def _interpret_default() -> bool:
 
 
 def _transform_u(points, rotation, translation, grid_size):
-    """(B, P, 2) fractional 0-based grid coords, full precision."""
+    """(B, P, n) fractional 0-based grid coords, full precision."""
     q = jnp.einsum("boi,pi->bpo", rotation, points,
                    precision=lax.Precision.HIGHEST)
     q = q + translation[:, None, :]
@@ -96,90 +105,64 @@ def _transform_u(points, rotation, translation, grid_size):
     return (q + 1) * scale - 0.5
 
 
-def _candidates(u, grid_size, tile_shape):
-    """Per pose: candidate tile ids for the 2^n stencil corners of each
-    point, deduplicated, out-of-grid corners -> sentinel NT.
+def _runs_for(n_out):
+    """Static read plan: [(rel_offsets, class_lo, class_hi_inclusive)].
 
-    u: (P, n) -> tid (2^n * P,) int32 in [0, NT].
+    Class bit i set = the stencil straddles axis i into the next tile.
+    rel bit i set = this run reads the neighbour one tile back on axis i;
+    it must cover exactly the classes with that bit set (and the own-tile
+    run rel=0 covers all classes).  Runs are the contiguous class
+    intervals of each such set.
     """
+    runs = []
+    for rel in range(2 ** n_out):
+        classes = [c for c in range(2 ** n_out) if (c & rel) == rel]
+        lo = None
+        prev = None
+        for c in classes + [None]:
+            if c is not None and prev is not None and c == prev + 1:
+                prev = c
+                continue
+            if prev is not None:
+                runs.append((rel, lo, prev))
+            lo = prev = c
+    return runs
+
+
+def _classify(u, grid_size, ts):
+    """Per pose: sort key = tile_flat * 2^n + straddle_class (sentinel
+    nt*2^n for points with no grid overlap).  u: (P, n) -> (P,) int32."""
     n = len(grid_size)
-    nts = [g // t for g, t in zip(grid_size, tile_shape)]
+    nts = [g // t for g, t in zip(grid_size, ts)]
     nt = math.prod(nts)
-    r0 = (jnp.ceil(u) - 1).astype(jnp.int32)            # (P, n)
-    tids = []
-    for k in range(2 ** n):
-        shift = [(k >> (n - 1 - i)) & 1 for i in range(n)]
-        ok = jnp.ones(u.shape[0], bool)
-        t = jnp.zeros(u.shape[0], jnp.int32)
-        for i in range(n):
-            c = r0[:, i] + shift[i]
-            ok = ok & (c >= 0) & (c < grid_size[i])
-            t = t * nts[i] + c // tile_shape[i]
-        t = jnp.where(ok, t, nt)
-        for prev in tids:
-            t = jnp.where(t == prev, nt, t)
-        tids.append(t)
-    return jnp.stack(tids, axis=1).reshape(-1)          # (2^n P,)
+    r0 = (jnp.ceil(u) - 1).astype(jnp.int32)
+    overlap = jnp.ones(u.shape[0], bool)
+    tile = jnp.zeros(u.shape[0], jnp.int32)
+    cls = jnp.zeros(u.shape[0], jnp.int32)
+    for i in range(n):
+        g, t = grid_size[i], ts[i]
+        ri = r0[:, i]
+        overlap &= (ri + 1 >= 0) & (ri <= g - 1)
+        tile = tile * nts[i] + jnp.clip(ri, 0, g - 1) // t
+        stri = (ri >= 0) & (ri + 1 < g) & ((ri + 1) % t == 0)
+        cls = cls + (stri.astype(jnp.int32) << i)
+    key = tile * (2 ** n) + cls
+    return jnp.where(overlap, key, nt * 2 ** n)
 
 
-def _bin_one_pose(tid, nt, chunk, s_pad):
-    """Sort-free-gather binning for one pose.
-
-    Returns (src_cand (S_pad,) int32, valid (S_pad,) bool,
-             chunk_offsets (NT+1,) int32, slot_of_cand (4P,) int32).
-    Only ONE argsort; everything else is searchsorted/gather/cumsum.
-    """
-    n4p = tid.shape[0]
-    order = jnp.argsort(tid)                            # (4P,)
-    sorted_tid = tid[order]
-    seg_start = jnp.searchsorted(sorted_tid,
-                                 jnp.arange(nt + 1, dtype=tid.dtype))
-    counts = jnp.diff(seg_start)                        # (NT,)
-    padded = -(-counts // chunk) * chunk
-    poffs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                             jnp.cumsum(padded).astype(jnp.int32)])
-
-    # dest -> src (gather form): slot s belongs to tile t, local rank r.
-    s = jnp.arange(s_pad, dtype=jnp.int32)
-    t_of_s = jnp.searchsorted(poffs, s, side="right").astype(jnp.int32) - 1
-    t_of_s = jnp.clip(t_of_s, 0, nt - 1)
-    r = s - poffs[t_of_s]
-    valid = r < counts[t_of_s]
-    src_sorted = jnp.clip(seg_start[t_of_s] + r, 0, n4p - 1)
-    src_cand = order[src_sorted]
-
-    # cand -> slot (for the backward unsort), also gather-only:
-    # rank within segment = position in sorted order - segment start.
-    rank_sorted = jnp.arange(n4p, dtype=jnp.int32) - seg_start[sorted_tid]
-    slot_sorted = jnp.where(sorted_tid < nt,
-                            poffs[jnp.clip(sorted_tid, 0, nt - 1)]
-                            + rank_sorted,
-                            s_pad)
-    # invert the sort permutation with a second argsort-free trick:
-    # slot_of_cand[order] = slot_sorted  <=>  gather via inverse; the
-    # inverse permutation is itself obtained by argsort(order), but we can
-    # avoid it: sorting (order, slot_sorted) pairs by `order` is exactly a
-    # gather of slot_sorted at inv(order).  One extra argsort is the
-    # simplest correct form:
-    inv = jnp.argsort(order)
-    slot_of_cand = slot_sorted[inv]
-    return src_cand, valid, (poffs // chunk).astype(jnp.int32), slot_of_cand
-
-
-def _pack_fwd(u, pw_ow, src_cand, valid, n_cand):
-    """(S_pad, PACKW) rows [u..., w, 0...]; invalid slots w=0, u=-8
-    (maps every corner out of any tile)."""
-    n = u.shape[1]
-    p_idx = src_cand // n_cand
-    cols = [jnp.where(valid, u[p_idx, i], -8.0) for i in range(n)]
-    cols.append(jnp.where(valid, pw_ow[p_idx], 0.0))
-    cols += [jnp.zeros_like(cols[0])] * (_PACKW - len(cols))
-    return jnp.stack(cols, axis=1)
+def _seg_table(keys, n_keys):
+    """(n_keys+1,) int32 segment starts from dense counting (no
+    searchsorted: its vectorised form is pathologically slow on TPU)."""
+    iota = jnp.arange(n_keys, dtype=jnp.int32)
+    counts = jnp.sum(keys[None, :] == iota[:, None], axis=1,
+                     dtype=jnp.int32)
+    return jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts).astype(jnp.int32)])
 
 
 def _onehot_pair_cols(u_col, n, off):
-    """f32 one-hot-pair factor (C, n) for tile-local coords, from global
-    fractional coords u (C,1) and tile origin `off` (traced scalar)."""
+    """f32 one-hot-pair factor (C, n) + derivative for tile-local coords
+    from global fractional coords (C, 1) and tile origin `off`."""
     r0f = jnp.ceil(u_col) - 1
     dl = u_col - r0f
     r0 = r0f.astype(jnp.int32) - off
@@ -189,48 +172,182 @@ def _onehot_pair_cols(u_col, n, off):
     return a, da, dl, r0
 
 
-def _fwd_kernel(offs_ref, data_ref, out_ref, scratch, sem, *, grid_size,
-                chunk):
-    h, w = grid_size
-    ntx = w // TILE
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_tile_accum_2d(cols, g_shape, oy, ox, chunk, rmask):
+    """One chunk's contribution to a (TILE, TILE) tile: exact-one-hot
+    bf16-split matmuls.  cols: (C, PACKW) transposed packed planes."""
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    uy = cols[:, 0:1]
+    ux = cols[:, 1:2]
+    wv = cols[:, 2:3] * rmask
+    r0yf = jnp.ceil(uy) - 1
+    dly = uy - r0yf
+    r0y = r0yf.astype(jnp.int32) - oy                     # (C, 1) local
+    ok = (r0y >= -1) & (r0y < TILE)
+    r0y = jnp.where(ok, r0y, -9)
+    r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)       # (2C, 1)
+    iota_t = lax.broadcasted_iota(jnp.int32, (TILE, 2 * chunk), 0)
+    o_t = (iota_t == r0cat.reshape(1, -1)).astype(bf16)   # (TILE, 2C)
+    bx, _, _, _ = _onehot_pair_cols(ux, TILE, ox)         # (C, TILE)
+    b_stack = jnp.concatenate(
+        [(1 - dly) * wv * bx, dly * wv * bx], axis=0)     # (2C, TILE)
+    b_hi = b_stack.astype(bf16)
+    b_lo = (b_stack - b_hi.astype(f32)).astype(bf16)
+    dims = (((1,), (0,)), ((), ()))
+    return (lax.dot_general(o_t, b_hi, dims, preferred_element_type=f32)
+            + lax.dot_general(o_t, b_lo, dims, preferred_element_type=f32))
+
+
+def _fwd_tile_accum_3d(cols, tile, oz, oy, ox, chunk, rmask):
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    tz, ty, tx = tile
+    uz = cols[:, 0:1]
+    uy = cols[:, 1:2]
+    ux = cols[:, 2:3]
+    wv = cols[:, 3:4] * rmask
+    r0zf = jnp.ceil(uz) - 1
+    dlz = uz - r0zf
+    r0z = r0zf.astype(jnp.int32) - oz
+    r0yf = jnp.ceil(uy) - 1
+    dly = uy - r0yf
+    r0y = r0yf.astype(jnp.int32) - oy
+    idxs, coefs = [], []
+    for sz in (0, 1):
+        for sy in (0, 1):
+            z = r0z + sz
+            y = r0y + sy
+            ok = (z >= 0) & (z < tz) & (y >= 0) & (y < ty)
+            idxs.append(jnp.where(ok, z * ty + y, -1))
+            coefs.append((dlz if sz else 1 - dlz)
+                         * (dly if sy else 1 - dly) * wv)
+    idx_cat = jnp.concatenate(idxs, axis=0)               # (4C, 1)
+    iota_r = lax.broadcasted_iota(jnp.int32, (tz * ty, 4 * chunk), 0)
+    o_t = (iota_r == idx_cat.reshape(1, -1)).astype(bf16)
+    bx, _, _, _ = _onehot_pair_cols(ux, tx, ox)
+    b_stack = jnp.concatenate([c * bx for c in coefs], axis=0)
+    b_hi = b_stack.astype(bf16)
+    b_lo = (b_stack - b_hi.astype(f32)).astype(bf16)
+    dims = (((1,), (0,)), ((), ()))
+    return (lax.dot_general(o_t, b_hi, dims, preferred_element_type=f32)
+            + lax.dot_general(o_t, b_lo, dims, preferred_element_type=f32))
+
+
+def _mk_run_loop(seg_ref, data_ref, scratch, sem, b, t, ncls, nts, chunk,
+                 process):
+    """Iterate the static read plan for tile `t`: for each (rel, clo, chi)
+    run, DMA the 128-aligned row windows of the matching neighbour class
+    segment chunk by chunk and call `process(cols, rmask, carry)`."""
+    n = len(nts)
+    # tile coordinates
+    tc = []
+    rem = t
+    for i in range(n):
+        stride = math.prod(nts[i + 1:])
+        tc.append(rem // stride)
+        rem = rem % stride
+
+    def do_run(rel, clo, chi, carry):
+        nb = jnp.int32(0)
+        ok = True
+        for i in range(n):
+            stride = math.prod(nts[i + 1:])
+            off = 1 if (rel >> i) & 1 else 0
+            ok = jnp.logical_and(ok, tc[i] - off >= 0) if off else ok
+            nb = nb + (tc[i] - off) * stride
+        lo = seg_ref[0, 0, nb * ncls + clo]
+        hi = seg_ref[0, 0, nb * ncls + chi + 1]
+        a0 = (lo // _ALIGN) * _ALIGN
+        nsteps = (hi - a0 + chunk - 1) // chunk
+        nsteps = jnp.where(jnp.asarray(ok), nsteps, 0)
+
+        def body(i_, c):
+            pos = a0 + i_ * chunk
+            dma = pltpu.make_async_copy(
+                data_ref.at[b, :, pl.ds(pos, chunk)], scratch, sem)
+            dma.start()
+            dma.wait()
+            cols = scratch[...].T                         # (C, PACKW)
+            ri = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + pos
+            rmask = ((ri >= lo) & (ri < hi)).astype(jnp.float32)
+            return process(cols, rmask, c, pos, hi)
+
+        return lax.fori_loop(0, nsteps, body, carry)
+
+    return do_run
+
+
+def _fwd_kernel(seg_ref, data_ref, out_ref, scratch, sem, *, grid_size,
+                tile, chunk, runs):
+    n = len(grid_size)
+    nts = [g // t for g, t in zip(grid_size, tile)]
+    ncls = 2 ** n
     b = pl.program_id(0)
     t = pl.program_id(1)
-    oy = (t // ntx) * TILE
-    ox = (t % ntx) * TILE
-    c0 = offs_ref[0, 0, t]
-    c1 = offs_ref[0, 0, t + 1]
-    bf16, f32 = jnp.bfloat16, jnp.float32
+    if n == 2:
+        oy = (t // nts[1]) * tile[0]
+        ox = (t % nts[1]) * tile[1]
+        m = tile[0]
 
-    out_ref[0] = jnp.zeros((TILE, TILE), f32)
+        def process(cols, rmask, acc, pos, hi):
+            return acc + _fwd_tile_accum_2d(cols, grid_size, oy, ox, chunk,
+                                            rmask)
+    else:
+        oz = (t // (nts[1] * nts[2])) * tile[0]
+        oy = ((t // nts[2]) % nts[1]) * tile[1]
+        ox = (t % nts[2]) * tile[2]
+        m = tile[0] * tile[1]
 
-    def body(i, _):
-        dma = pltpu.make_async_copy(
-            data_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :], scratch, sem)
-        dma.start()
-        dma.wait()
-        uy = scratch[:, 0:1]
-        ux = scratch[:, 1:2]
-        wv = scratch[:, 2:3]
-        # y-side: stacked exact one-hot, transposed for the MXU via the
-        # row orientation of r0cat.
-        r0yf = jnp.ceil(uy) - 1
-        dly = uy - r0yf
-        r0y = r0yf.astype(jnp.int32) - oy                 # (C, 1) local
-        r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)   # (2C, 1)
-        iota_t = lax.broadcasted_iota(jnp.int32, (TILE, 2 * chunk), 0)
-        o_t = (iota_t == r0cat.reshape(1, -1)).astype(bf16)  # (TILE, 2C)
-        bx, _, _, _ = _onehot_pair_cols(ux, TILE, ox)     # (C, TILE) f32
-        b_stack = jnp.concatenate(
-            [(1 - dly) * wv * bx, dly * wv * bx], axis=0)  # (2C, TILE)
-        b_hi = b_stack.astype(bf16)
-        b_lo = (b_stack - b_hi.astype(f32)).astype(bf16)
-        dims = (((1,), (0,)), ((), ()))
-        s = (lax.dot_general(o_t, b_hi, dims, preferred_element_type=f32)
-             + lax.dot_general(o_t, b_lo, dims, preferred_element_type=f32))
-        out_ref[0] = out_ref[0] + s
-        return 0
+        def process(cols, rmask, acc, pos, hi):
+            return acc + _fwd_tile_accum_3d(cols, tile, oz, oy, ox, chunk,
+                                            rmask)
 
-    lax.fori_loop(0, c1 - c0, body, 0)
+    do_run = _mk_run_loop(seg_ref, data_ref, scratch, sem, b, t, ncls, nts,
+                          chunk, process)
+    acc = jnp.zeros((m, tile[-1]), jnp.float32)
+    for rel, clo, chi in runs:
+        acc = do_run(rel, clo, chi, acc)
+    out_ref[0] = acc.reshape(tuple(tile))
+
+
+def _prep_fwd(grid_size, ts, points, rotation, translation, out_weight,
+              point_weight, chunk):
+    """Shared forward binning: returns (data planes (B, PACKW, P2),
+    seg tables (B, L), static sizes)."""
+    n_out = len(grid_size)
+    nts = tuple(g // t for g, t in zip(grid_size, ts))
+    nt = math.prod(nts)
+    ncls = 2 ** n_out
+    l_keys = nt * ncls + 1
+    p = points.shape[0]
+    p2 = -(-p // _ALIGN) * _ALIGN + chunk                 # slack for DMA
+    f32 = jnp.float32
+
+    u = _transform_u(points.astype(f32), rotation.astype(f32),
+                     translation.astype(f32), grid_size)  # (B, P, n)
+    pw_ow = point_weight.astype(f32)[None, :] \
+        * out_weight.astype(f32)[:, None]                 # (B, P)
+
+    def one(uu, w):
+        key = _classify(uu, grid_size, ts)
+        pad = p2 - p
+        keyp = jnp.concatenate([key, jnp.full((pad,), nt * ncls,
+                                              jnp.int32)])
+        cols = [jnp.concatenate([uu[:, i], jnp.full((pad,), -8.0, f32)])
+                for i in range(n_out)]
+        cols.append(jnp.concatenate([w, jnp.zeros((pad,), f32)]))
+        sorted_ops = lax.sort((keyp,) + tuple(cols), dimension=0,
+                              num_keys=1)
+        seg = _seg_table(sorted_ops[0], l_keys - 1)
+        planes = list(sorted_ops[1:])
+        planes += [jnp.zeros((p2,), f32)] * (_PACKW - len(planes))
+        return jnp.stack(planes, axis=0), seg
+
+    data, seg = jax.vmap(one)(u, pw_ow)
+    return data, seg, nts, nt, ncls, l_keys, p2
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
@@ -244,318 +361,288 @@ def raster_fwd(grid_size, points, rotation, translation, background,
         interpret = _interpret_default()
     n_out = len(grid_size)
     ts = tile_shape_for(grid_size)
-    nts = tuple(g // t for g, t in zip(grid_size, ts))
-    nt = math.prod(nts)
-    n_cand = 2 ** n_out
     bsz = rotation.shape[0]
-    p = points.shape[0]
-    s_pad = n_cand * p + nt * chunk
     f32 = jnp.float32
-
-    pts32 = points.astype(f32)
-    u = _transform_u(pts32, rotation.astype(f32), translation.astype(f32),
-                     grid_size)                          # (B, P, n_out)
-    tid = jax.vmap(_candidates, in_axes=(0, None, None))(u, grid_size, ts)
-    src, valid, offs, _ = jax.vmap(
-        lambda t: _bin_one_pose(t, nt, chunk, s_pad))(tid)
-    pw_ow = point_weight.astype(f32)[None, :] \
-        * out_weight.astype(f32)[:, None]                # (B, P)
-    data = jax.vmap(lambda uu, po, sc, va: _pack_fwd(uu, po, sc, va,
-                                                     n_cand))(
-        u, pw_ow, src, valid)                            # (B, S_pad, 8)
+    data, seg, nts, nt, ncls, l_keys, p2 = _prep_fwd(
+        grid_size, ts, points, rotation, translation, out_weight,
+        point_weight, chunk)
+    runs = _runs_for(n_out)
 
     if n_out == 2:
-        kernel = functools.partial(_fwd_kernel, grid_size=grid_size,
-                                   chunk=chunk)
-        out_spec = pl.BlockSpec(
-            (1,) + ts, lambda b, t: (b, t // nts[1], t % nts[1]),
-            memory_space=pltpu.VMEM)
+        out_index = lambda b, t: (b, t // nts[1], t % nts[1])
     else:
-        kernel = functools.partial(_fwd_kernel_3d, grid_size=grid_size,
-                                   tile=ts, chunk=chunk)
-        out_spec = pl.BlockSpec(
-            (1,) + ts,
-            lambda b, t: (b, t // (nts[1] * nts[2]),
-                          (t // nts[2]) % nts[1], t % nts[2]),
-            memory_space=pltpu.VMEM)
-
+        out_index = lambda b, t: (b, t // (nts[1] * nts[2]),
+                                  (t // nts[2]) % nts[1], t % nts[2])
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, grid_size=grid_size, tile=ts,
+                          chunk=chunk, runs=runs),
         grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, nt + 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, 1, l_keys), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=out_spec,
+        out_specs=pl.BlockSpec((1,) + ts, out_index,
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz,) + tuple(grid_size), f32),
-        scratch_shapes=[pltpu.VMEM((chunk, _PACKW), f32),
+        scratch_shapes=[pltpu.VMEM((_PACKW, chunk), f32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(offs[:, None, :], data)
+    )(seg[:, None, :], data)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
     dtype = jnp.result_type(points, rotation, translation)
     return out.astype(dtype)
 
 
-def _fwd_kernel_3d(offs_ref, data_ref, out_ref, scratch, sem, *, grid_size,
-                   tile, chunk):
-    """3D forward: the (z, y) pair fuses into a stacked EXACT one-hot over
-    the flattened (t_z * t_y) tile rows (4 shift combos); x carries the
-    split coefficients, exactly like the 2D y/x split."""
-    gz, gy, gx = grid_size
-    tz, ty, tx = tile
-    nty, ntx = gy // ty, gx // tx
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    oz = (t // (nty * ntx)) * tz
-    oy = ((t // ntx) % nty) * ty
-    ox = (t % ntx) * tx
-    c0 = offs_ref[0, 0, t]
-    c1 = offs_ref[0, 0, t + 1]
-    bf16, f32 = jnp.bfloat16, jnp.float32
-
-    acc0 = jnp.zeros((tz * ty, tx), f32)
-
-    def body(i, acc):
-        dma = pltpu.make_async_copy(
-            data_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :], scratch, sem)
-        dma.start()
-        dma.wait()
-        uz = scratch[:, 0:1]
-        uy = scratch[:, 1:2]
-        ux = scratch[:, 2:3]
-        wv = scratch[:, 3:4]
-
-        r0zf = jnp.ceil(uz) - 1
-        dlz = uz - r0zf
-        r0z = r0zf.astype(jnp.int32) - oz
-        r0yf = jnp.ceil(uy) - 1
-        dly = uy - r0yf
-        r0y = r0yf.astype(jnp.int32) - oy
-
-        # stacked flattened zy one-hot: 4 shift combos, EXACT in bf16.
-        # rows outside the tile in either axis never match (idx -> -1).
-        idxs, coefs = [], []
-        for sz in (0, 1):
-            for sy in (0, 1):
-                z = r0z + sz
-                y = r0y + sy
-                ok = (z >= 0) & (z < tz) & (y >= 0) & (y < ty)
-                idxs.append(jnp.where(ok, z * ty + y, -1))
-                cz = dlz if sz else 1 - dlz
-                cy = dly if sy else 1 - dly
-                coefs.append(cz * cy * wv)
-        idx_cat = jnp.concatenate(idxs, axis=0)           # (4C, 1)
-        iota_r = lax.broadcasted_iota(jnp.int32, (tz * ty, 4 * chunk), 0)
-        o_t = (iota_r == idx_cat.reshape(1, -1)).astype(bf16)
-
-        bx, _, _, _ = _onehot_pair_cols(ux, tx, ox)       # (C, tx) f32
-        b_stack = jnp.concatenate([c * bx for c in coefs], axis=0)
-        b_hi = b_stack.astype(bf16)
-        b_lo = (b_stack - b_hi.astype(f32)).astype(bf16)
-        dims = (((1,), (0,)), ((), ()))
-        s = (lax.dot_general(o_t, b_hi, dims, preferred_element_type=f32)
-             + lax.dot_general(o_t, b_lo, dims, preferred_element_type=f32))
-        return acc + s
-
-    acc = lax.fori_loop(0, c1 - c0, body, acc0)
-    out_ref[0] = acc.reshape(tz, ty, tx)
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
 
 
-def _pack_bwd(u, pts, pw, src_cand, valid, n_cand):
-    """(S_pad, PACKW) rows [u..., pw, pts...]; invalid slots pw=0,
-    u=-8."""
-    n = u.shape[1]
-    p_idx = src_cand // n_cand
-    cols = [jnp.where(valid, u[p_idx, i], -8.0) for i in range(n)]
-    cols.append(jnp.where(valid, pw[p_idx], 0.0))
-    cols += [pts[p_idx, i] for i in range(pts.shape[1])]
-    cols += [jnp.zeros_like(cols[0])] * (_PACKW - len(cols))
-    return jnp.stack(cols, axis=1)
-
-
-def _bwd_kernel(offs_ref, ow_ref, rot_ref, data_ref, g_ref,
-                dcand_ref, dt_ref, dr_ref, dow_ref,
+def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
+                out_refs, dt_ref, dr_ref, dow_ref,
                 scratch_in, scratch_out, sem_in, sem_out, *,
-                grid_size, chunk, n_in):
-    h, w = grid_size
-    ntx = w // TILE
+                grid_size, tile, chunk, runs, n_in):
+    n = len(grid_size)
+    nts = [g // t for g, t in zip(grid_size, tile)]
+    ncls = 2 ** n
     b = pl.program_id(0)
     t = pl.program_id(1)
-    oy = (t // ntx) * TILE
-    ox = (t % ntx) * TILE
-    c0 = offs_ref[0, 0, t]
-    c1 = offs_ref[0, 0, t + 1]
     ow = ow_ref[0, 0, 0]
-    rot = rot_ref[0]                                     # (2, n_in)
-    g = g_ref[0]                                         # (TILE, TILE) f32
-    bf16, f32 = jnp.bfloat16, jnp.float32
+    rot = rot_ref[0]                                      # (n, n_in)
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    if n == 2:
+        oy = (t // nts[1]) * tile[0]
+        ox = (t % nts[1]) * tile[1]
+        g = g_ref[0]
+    else:
+        oz = (t // (nts[1] * nts[2])) * tile[0]
+        oy = ((t // nts[2]) % nts[1]) * tile[1]
+        ox = (t % nts[2]) * tile[2]
+        g = g_ref[0].reshape(tile[0] * tile[1], tile[2])
     g_hi = g.astype(bf16)
     g_lo = (g - g_hi.astype(f32)).astype(bf16)
+    h_all = [float(s) for s in grid_size]
 
-    def body(i, carry):
-        acc_t, acc_r, acc_ow = carry
-        dma = pltpu.make_async_copy(
-            data_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :], scratch_in,
-            sem_in)
-        dma.start()
-        dma.wait()
-        uy = scratch_in[:, 0:1]
-        ux = scratch_in[:, 1:2]
-        pw = scratch_in[:, 2:3]
-        pts = scratch_in[:, 3:3 + n_in]                  # (C, n_in)
-
-        r0yf = jnp.ceil(uy) - 1
-        dly = uy - r0yf
-        r0y = r0yf.astype(jnp.int32) - oy                # (C, 1) local
-        r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)  # (2C, 1)
-        iota_c = lax.broadcasted_iota(jnp.int32, (2 * chunk, TILE), 1)
-        o = (iota_c == r0cat).astype(bf16)               # (2C, TILE)
-        dims = (((1,), (0,)), ((), ()))
-        res = (lax.dot_general(o, g_hi, dims, preferred_element_type=f32)
-               + lax.dot_general(o, g_lo, dims,
-                                 preferred_element_type=f32))  # (2C, TILE)
-        p0, p1 = res[:chunk], res[chunk:]
-        v1 = (1 - dly) * p0 + dly * p1
-        diff = p1 - p0
-        bx, db, _, _ = _onehot_pair_cols(ux, TILE, ox)
-        gw = jnp.sum(v1 * bx, axis=1, keepdims=True)     # (C, 1)
-        dy = jnp.sum(diff * bx, axis=1, keepdims=True)
-        dx = jnp.sum(v1 * db, axis=1, keepdims=True)
-
-        coeff = ow * pw
-        scaled = jnp.concatenate([dy * (h / 2), dx * (w / 2)],
-                                 axis=1) * coeff          # (C, 2)
-        d_p = lax.dot_general(scaled, rot, (((1,), (0,)), ((), ())),
-                              precision=lax.Precision.HIGHEST,
-                              preferred_element_type=f32)  # (C, n_in)
-        scratch_out[:, 0:n_in] = d_p
-        scratch_out[:, n_in:n_in + 1] = gw * ow           # d_pw
-        wr = pltpu.make_async_copy(
-            scratch_out, dcand_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :],
-            sem_out)
-        wr.start()
-        wr.wait()
-
-        acc_t = acc_t + jnp.sum(scaled, axis=0, keepdims=True)   # (1, 2)
-        acc_r = acc_r + lax.dot_general(
-            scaled, pts, (((0,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=f32)                   # (2, n_in)
-        acc_ow = acc_ow + jnp.sum(gw * pw)
-        return acc_t, acc_r, acc_ow
-
-    acc_t = jnp.zeros((1, 2), f32)
-    acc_r = jnp.zeros((2, n_in), f32)
-    acc_ow = jnp.zeros((), f32)
-    acc_t, acc_r, acc_ow = lax.fori_loop(0, c1 - c0, body,
-                                         (acc_t, acc_r, acc_ow))
-    dt_ref[0, 0] = acc_t
-    dr_ref[0, 0] = acc_r
-    dow_ref[0, 0] = acc_ow.reshape(1, 1)
-
-
-def _bwd_kernel_3d(offs_ref, ow_ref, rot_ref, data_ref, g_ref,
-                   dcand_ref, dt_ref, dr_ref, dow_ref,
-                   scratch_in, scratch_out, sem_in, sem_out, *,
-                   grid_size, tile, chunk, n_in):
-    gz, gy, gx = grid_size
-    tz, ty, tx = tile
-    nty, ntx = gy // ty, gx // tx
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    oz = (t // (nty * ntx)) * tz
-    oy = ((t // ntx) % nty) * ty
-    ox = (t % ntx) * tx
-    c0 = offs_ref[0, 0, t]
-    c1 = offs_ref[0, 0, t + 1]
-    ow = ow_ref[0, 0, 0]
-    rot = rot_ref[0]                                     # (3, n_in)
-    bf16, f32 = jnp.bfloat16, jnp.float32
-    g = g_ref[0].reshape(tz * ty, tx)                    # flattened zy rows
-    g_hi = g.astype(bf16)
-    g_lo = (g - g_hi.astype(f32)).astype(bf16)
-
-    def body(i, carry):
-        acc_t, acc_r, acc_ow = carry
-        dma = pltpu.make_async_copy(
-            data_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :], scratch_in,
-            sem_in)
-        dma.start()
-        dma.wait()
-        uz = scratch_in[:, 0:1]
-        uy = scratch_in[:, 1:2]
-        ux = scratch_in[:, 2:3]
-        pw = scratch_in[:, 3:4]
-        pts = scratch_in[:, 4:4 + n_in]                  # (C, n_in)
-
-        r0zf = jnp.ceil(uz) - 1
-        dlz = uz - r0zf
-        r0z = r0zf.astype(jnp.int32) - oz
-        r0yf = jnp.ceil(uy) - 1
-        dly = uy - r0yf
-        r0y = r0yf.astype(jnp.int32) - oy
-
-        idxs = []
-        for sz in (0, 1):
-            for sy in (0, 1):
-                z = r0z + sz
-                y = r0y + sy
-                ok = (z >= 0) & (z < tz) & (y >= 0) & (y < ty)
-                idxs.append(jnp.where(ok, z * ty + y, -1))
-        idx_cat = jnp.concatenate(idxs, axis=0)          # (4C, 1)
-        iota_c = lax.broadcasted_iota(jnp.int32, (4 * chunk, tz * ty), 1)
-        o = (iota_c == idx_cat).astype(bf16)             # (4C, tz*ty)
-        dims = (((1,), (0,)), ((), ()))
-        res = (lax.dot_general(o, g_hi, dims, preferred_element_type=f32)
-               + lax.dot_general(o, g_lo, dims,
-                                 preferred_element_type=f32))  # (4C, tx)
-        p00 = res[:chunk]
-        p01 = res[chunk:2 * chunk]
-        p10 = res[2 * chunk:3 * chunk]
-        p11 = res[3 * chunk:]
-        cz0, cz1 = 1 - dlz, dlz
-        cy0, cy1 = 1 - dly, dly
-        v1 = cz0 * (cy0 * p00 + cy1 * p01) + cz1 * (cy0 * p10 + cy1 * p11)
-        dzv = (cy0 * p10 + cy1 * p11) - (cy0 * p00 + cy1 * p01)
-        dyv = cz0 * (p01 - p00) + cz1 * (p11 - p10)
-
-        bx, db, _, _ = _onehot_pair_cols(ux, tx, ox)
-        gw = jnp.sum(v1 * bx, axis=1, keepdims=True)     # (C, 1)
-        du_z = jnp.sum(dzv * bx, axis=1, keepdims=True)
-        du_y = jnp.sum(dyv * bx, axis=1, keepdims=True)
-        du_x = jnp.sum(v1 * db, axis=1, keepdims=True)
-
+    def compute(cols, rmask):
+        """-> (out_mat (C, PACKW) grad rows, dt (1,n), dr (n,n_in),
+        dow scalar)."""
+        if n == 2:
+            uy = cols[:, 0:1]
+            ux = cols[:, 1:2]
+            pw = cols[:, 2:3] * rmask
+            pts = cols[:, 4:4 + n_in]
+            r0yf = jnp.ceil(uy) - 1
+            dly = uy - r0yf
+            r0y = r0yf.astype(jnp.int32) - oy
+            okm = (r0y >= -1) & (r0y < tile[0])
+            r0y = jnp.where(okm, r0y, -9)
+            r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)
+            iota_c = lax.broadcasted_iota(jnp.int32, (2 * chunk, tile[0]),
+                                          1)
+            o = (iota_c == r0cat).astype(bf16)
+            dims = (((1,), (0,)), ((), ()))
+            res = (lax.dot_general(o, g_hi, dims,
+                                   preferred_element_type=f32)
+                   + lax.dot_general(o, g_lo, dims,
+                                     preferred_element_type=f32))
+            p0, p1 = res[:chunk], res[chunk:]
+            v1 = (1 - dly) * p0 + dly * p1
+            dus = [p1 - p0]                               # d/du_y via bx
+            bx, db, _, _ = _onehot_pair_cols(ux, tile[1], ox)
+            gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
+            du_y = jnp.sum(dus[0] * bx, axis=1, keepdims=True)
+            du_x = jnp.sum(v1 * db, axis=1, keepdims=True)
+            du = [du_y, du_x]
+        else:
+            uz = cols[:, 0:1]
+            uy = cols[:, 1:2]
+            ux = cols[:, 2:3]
+            pw = cols[:, 3:4] * rmask
+            pts = cols[:, 5:5 + n_in]
+            r0zf = jnp.ceil(uz) - 1
+            dlz = uz - r0zf
+            r0z = r0zf.astype(jnp.int32) - oz
+            r0yf = jnp.ceil(uy) - 1
+            dly = uy - r0yf
+            r0y = r0yf.astype(jnp.int32) - oy
+            idxs = []
+            for sz in (0, 1):
+                for sy in (0, 1):
+                    z = r0z + sz
+                    y = r0y + sy
+                    okm = (z >= 0) & (z < tile[0]) & (y >= 0) & (y < tile[1])
+                    idxs.append(jnp.where(okm, z * tile[1] + y, -1))
+            idx_cat = jnp.concatenate(idxs, axis=0)
+            iota_c = lax.broadcasted_iota(
+                jnp.int32, (4 * chunk, tile[0] * tile[1]), 1)
+            o = (iota_c == idx_cat).astype(bf16)
+            dims = (((1,), (0,)), ((), ()))
+            res = (lax.dot_general(o, g_hi, dims,
+                                   preferred_element_type=f32)
+                   + lax.dot_general(o, g_lo, dims,
+                                     preferred_element_type=f32))
+            p00, p01 = res[:chunk], res[chunk:2 * chunk]
+            p10, p11 = res[2 * chunk:3 * chunk], res[3 * chunk:]
+            cz0, cz1 = 1 - dlz, dlz
+            cy0, cy1 = 1 - dly, dly
+            v1 = cz0 * (cy0 * p00 + cy1 * p01) \
+                + cz1 * (cy0 * p10 + cy1 * p11)
+            dzv = (cy0 * p10 + cy1 * p11) - (cy0 * p00 + cy1 * p01)
+            dyv = cz0 * (p01 - p00) + cz1 * (p11 - p10)
+            bx, db, _, _ = _onehot_pair_cols(ux, tile[2], ox)
+            gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
+            du = [jnp.sum(dzv * bx, axis=1, keepdims=True),
+                  jnp.sum(dyv * bx, axis=1, keepdims=True),
+                  jnp.sum(v1 * db, axis=1, keepdims=True)]
         coeff = ow * pw
         scaled = jnp.concatenate(
-            [du_z * (gz / 2), du_y * (gy / 2), du_x * (gx / 2)],
-            axis=1) * coeff                               # (C, 3)
+            [d * (h_all[i] / 2) for i, d in enumerate(du)],
+            axis=1) * coeff                               # (C, n)
         d_p = lax.dot_general(scaled, rot, (((1,), (0,)), ((), ())),
                               precision=lax.Precision.HIGHEST,
                               preferred_element_type=f32)  # (C, n_in)
-        scratch_out[:, 0:n_in] = d_p
-        scratch_out[:, n_in:n_in + 1] = gw * ow           # d_pw
-        wr = pltpu.make_async_copy(
-            scratch_out, dcand_ref.at[b, pl.ds((c0 + i) * chunk, chunk), :],
-            sem_out)
-        wr.start()
-        wr.wait()
+        pad = jnp.zeros((chunk, _PACKW - n_in - 1), f32)
+        out_mat = jnp.concatenate([d_p, gw * ow * rmask, pad], axis=1)
+        dt = jnp.sum(scaled, axis=0, keepdims=True)
+        dr = lax.dot_general(scaled, pts, (((0,), (0,)), ((), ())),
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=f32)
+        dow_ = jnp.sum(gw * pw)
+        return out_mat, dt, dr, dow_
 
-        acc_t = acc_t + jnp.sum(scaled, axis=0, keepdims=True)   # (1, 3)
-        acc_r = acc_r + lax.dot_general(
-            scaled, pts, (((0,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=f32)                   # (3, n_in)
-        acc_ow = acc_ow + jnp.sum(gw * pw)
-        return acc_t, acc_r, acc_ow
+    # per-run loops; writes go to the rel-indexed output buffer
+    tc = []
+    rem = t
+    for i in range(n):
+        stride = math.prod(nts[i + 1:])
+        tc.append(rem // stride)
+        rem = rem % stride
 
-    acc = (jnp.zeros((1, 3), f32), jnp.zeros((3, n_in), f32),
-           jnp.zeros((), f32))
-    acc_t, acc_r, acc_ow = lax.fori_loop(0, c1 - c0, body, acc)
+    acc_t = jnp.zeros((1, n), f32)
+    acc_r = jnp.zeros((n, n_in), f32)
+    acc_ow = jnp.zeros((), f32)
+    for run_i, (rel, clo, chi) in enumerate(runs):
+        nb = jnp.int32(0)
+        okv = jnp.bool_(True)
+        for i in range(n):
+            stride = math.prod(nts[i + 1:])
+            off = 1 if (rel >> i) & 1 else 0
+            if off:
+                okv = jnp.logical_and(okv, tc[i] - off >= 0)
+            nb = nb + (tc[i] - off) * stride
+        lo = seg_ref[0, 0, nb * ncls + clo]
+        hi = seg_ref[0, 0, nb * ncls + chi + 1]
+        # segments are 128-padded (sort #2), so lo/hi are 128-aligned and
+        # writes below never touch another segment's rows.
+        nsteps = jnp.where(okv, (hi - lo + chunk - 1) // chunk, 0)
+
+        def body(i_, carry, lo=lo, hi=hi, rel=rel):
+            at, ar, aow = carry
+            pos = lo + i_ * chunk
+            dma = pltpu.make_async_copy(
+                data_ref.at[b, :, pl.ds(pos, chunk)], scratch_in, sem_in)
+            dma.start()
+            dma.wait()
+            cols = scratch_in[...].T
+            ri = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + pos
+            rmask = ((ri >= lo) & (ri < hi)).astype(f32)
+            out_mat, dt, dr, dow_ = compute(cols, rmask)
+            scratch_out[...] = out_mat.T                  # (PACKW, C)
+            rem_rows = hi - pos
+            dst = out_refs[rel]
+
+            def wr(sz):
+                def _():
+                    cp = pltpu.make_async_copy(
+                        scratch_out.at[:, pl.ds(0, sz)],
+                        dst.at[b, :, pl.ds(pos, sz)], sem_out)
+                    cp.start()
+                    cp.wait()
+                return _
+
+            for sz in range(_ALIGN, chunk + 1, _ALIGN):
+                pl.when(rem_rows == sz)(wr(sz))
+            pl.when(rem_rows > chunk)(wr(chunk))
+            return at + dt, ar + dr, aow + dow_
+
+        acc_t, acc_r, acc_ow = lax.fori_loop(
+            0, nsteps, body, (acc_t, acc_r, acc_ow))
+
     dt_ref[0, 0] = acc_t
     dr_ref[0, 0] = acc_r
     dow_ref[0, 0] = acc_ow.reshape(1, 1)
+
+
+def _prep_bwd(grid_size, ts, points, rotation, translation, out_weight,
+              point_weight, chunk):
+    """Backward binning: 128-padded class segments via two sorts.
+    Returns (data (B, PACKW, S_pad), seg (B, L) in the padded frame,
+    static sizes)."""
+    n_out = len(grid_size)
+    nts = tuple(g // t for g, t in zip(grid_size, ts))
+    nt = math.prod(nts)
+    ncls = 2 ** n_out
+    l_seg = nt * ncls
+    p, n_in = points.shape
+    s_pad = -(-p // _ALIGN) * _ALIGN + l_seg * _ALIGN + chunk
+    f32 = jnp.float32
+
+    u = _transform_u(points.astype(f32), rotation.astype(f32),
+                     translation.astype(f32), grid_size)
+    pw32 = point_weight.astype(f32)
+    pts32 = points.astype(f32)
+
+    def one(uu):
+        key = _classify(uu, grid_size, ts)                # (P,)
+        cols = [uu[:, i] for i in range(n_out)]
+        cols.append(pw32)
+        cols.append(jnp.arange(p, dtype=jnp.int32).astype(f32))  # ptidx
+        cols += [pts32[:, i] for i in range(n_in)]
+        sorted_ops = lax.sort((key,) + tuple(cols), dimension=0,
+                              num_keys=1)
+        skey = sorted_ops[0]
+        seg = _seg_table(skey, l_seg)                     # (L+1,)
+        counts = jnp.diff(seg)
+        padded = -(-counts // _ALIGN) * _ALIGN
+        poffs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(padded).astype(jnp.int32)])
+        # slot of each sorted row: poffs[key] + rank.  Lookups are
+        # broadcast-compare REDUCES (XLA fuses producer into reduction —
+        # nothing materialises; dots/gathers would be slow on TPU).
+        iota_l = jnp.arange(l_seg, dtype=jnp.int32)
+        eq = skey[:, None] == iota_l[None, :]
+        poff_of = jnp.sum(jnp.where(eq, poffs[:-1][None, :], 0), axis=1)
+        seg_of = jnp.sum(jnp.where(eq, seg[:-1][None, :], 0), axis=1)
+        rank = jnp.arange(skey.shape[0], dtype=jnp.int32) - seg_of
+        slot = jnp.where(skey < l_seg, (poff_of + rank).astype(f32),
+                         jnp.float32(s_pad + 1))
+        # fillers: pad each segment to its 128 multiple (static repeats —
+        # a reshape-broadcast, not a gather)
+        f_k = jnp.tile(jnp.arange(_ALIGN, dtype=jnp.int32), l_seg)
+        f_needed = jnp.repeat(padded - counts, _ALIGN)
+        f_base = jnp.repeat(poffs[:-1] + counts, _ALIGN)
+        f_slot = jnp.where(f_k < f_needed, (f_base + f_k).astype(f32),
+                           jnp.float32(s_pad + 2))
+        # pad the sort input to exactly s_pad rows (rounding + DMA slack)
+        n_extra = s_pad - (p + l_seg * _ALIGN)
+        all_slots = jnp.concatenate(
+            [slot, f_slot, jnp.full((n_extra,), float(s_pad + 3), f32)])
+        fill_len = l_seg * _ALIGN + n_extra
+        fill_cols = [jnp.full((fill_len,), -8.0, f32)] * n_out \
+            + [jnp.zeros((fill_len,), f32)] \
+            + [jnp.full((fill_len,), float(p), f32)] \
+            + [jnp.zeros((fill_len,), f32)] * n_in
+        cat_cols = [jnp.concatenate([sorted_ops[1 + i], fill_cols[i]])
+                    for i in range(len(cols))]
+        sorted2 = lax.sort((all_slots,) + tuple(cat_cols), dimension=0,
+                           num_keys=1)
+        planes = [c[:s_pad] for c in sorted2[1:]]
+        planes += [jnp.zeros((s_pad,), f32)] * (_PACKW - len(planes))
+        return jnp.stack(planes, axis=0), poffs
+
+    data, poffs = jax.vmap(one)(u)
+    return data, poffs, nts, nt, ncls, l_seg, s_pad
 
 
 def raster_pullback(grid_size, points, rotation, translation, background,
@@ -569,57 +656,51 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         interpret = _interpret_default()
     n_out = len(grid_size)
     ts = tile_shape_for(grid_size)
-    nts = tuple(g // t for g, t in zip(grid_size, ts))
-    nt = math.prod(nts)
-    n_cand = 2 ** n_out
     bsz = rotation.shape[0]
     p, n_in = points.shape
-    assert n_in + n_out + 2 <= _PACKW, f"n_in={n_in} exceeds packed row"
-    s_pad = n_cand * p + nt * chunk
+    assert n_in + n_out + 2 <= _PACKW, f"n_in={n_in} too large for tiled"
     f32 = jnp.float32
-
-    pts32 = points.astype(f32)
-    rot32 = rotation.astype(f32)
-    u = _transform_u(pts32, rot32, translation.astype(f32), grid_size)
-    tid = jax.vmap(_candidates, in_axes=(0, None, None))(u, grid_size, ts)
-    src, valid, offs, slot = jax.vmap(
-        lambda t: _bin_one_pose(t, nt, chunk, s_pad))(tid)
-    pw32 = point_weight.astype(f32)
-    data = jax.vmap(lambda uu, sc, va: _pack_bwd(uu, pts32, pw32, sc, va,
-                                                 n_cand))(
-        u, src, valid)                                   # (B, S_pad, 8)
+    data, poffs, nts, nt, ncls, l_seg, s_pad = _prep_bwd(
+        grid_size, ts, points, rotation, translation, out_weight,
+        point_weight, chunk)
     g = ds_dout.astype(f32)
+    runs = _runs_for(n_out)
+    n_rel = 2 ** n_out
 
     if n_out == 2:
-        kernel = functools.partial(_bwd_kernel, grid_size=grid_size,
-                                   chunk=chunk, n_in=n_in)
-        g_spec = pl.BlockSpec(
-            (1,) + ts, lambda b, t: (b, t // nts[1], t % nts[1]),
-            memory_space=pltpu.VMEM)
+        g_index = lambda b, t: (b, t // nts[1], t % nts[1])
     else:
-        kernel = functools.partial(_bwd_kernel_3d, grid_size=grid_size,
-                                   tile=ts, chunk=chunk, n_in=n_in)
-        g_spec = pl.BlockSpec(
-            (1,) + ts,
-            lambda b, t: (b, t // (nts[1] * nts[2]),
-                          (t // nts[2]) % nts[1], t % nts[2]),
-            memory_space=pltpu.VMEM)
+        g_index = lambda b, t: (b, t // (nts[1] * nts[2]),
+                                (t // nts[2]) % nts[1], t % nts[2])
 
-    dcand, dt_k, dr_k, dow_k = pl.pallas_call(
+    def kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref, *refs):
+        # refs: n_rel aliased zero inputs, n_rel output buffers, 3 slabs,
+        # then scratch.
+        out_refs = refs[n_rel:2 * n_rel]
+        dt_ref, dr_ref, dow_ref = refs[2 * n_rel:2 * n_rel + 3]
+        scratch_in, scratch_out, sem_in, sem_out = refs[2 * n_rel + 3:]
+        _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref, out_refs,
+                    dt_ref, dr_ref, dow_ref, scratch_in, scratch_out,
+                    sem_in, sem_out, grid_size=grid_size, tile=ts,
+                    chunk=chunk, runs=runs, n_in=n_in)
+
+    outs = pl.pallas_call(
         kernel,
         grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, nt + 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, 1, l_seg + 1), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_out, n_in), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            g_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1,) + ts, g_index, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_rel,
+        # each gradient row lands in only the buffers of its straddle
+        # relations; alias donated zero inputs so the rest reads as 0.
+        input_output_aliases={5 + i: i for i in range(n_rel)},
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_rel + [
             pl.BlockSpec((1, 1, 1, n_out), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_out, n_in), lambda b, t: (b, t, 0, 0),
@@ -627,29 +708,42 @@ def raster_pullback(grid_size, points, rotation, translation, background,
             pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, s_pad, _PACKW), f32),
+        out_shape=[jax.ShapeDtypeStruct((bsz, _PACKW, s_pad), f32)
+                   for _ in range(n_rel)] + [
             jax.ShapeDtypeStruct((bsz, nt, 1, n_out), f32),
             jax.ShapeDtypeStruct((bsz, nt, n_out, n_in), f32),
             jax.ShapeDtypeStruct((bsz, nt, 1, 1), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((chunk, _PACKW), f32),
-                        pltpu.VMEM((chunk, _PACKW), f32),
+        scratch_shapes=[pltpu.VMEM((_PACKW, chunk), f32),
+                        pltpu.VMEM((_PACKW, chunk), f32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(offs[:, None, :], out_weight.astype(f32)[:, None, None], rot32,
-      data, g)
+    )(poffs[:, None, :], out_weight.astype(f32)[:, None, None],
+      rotation.astype(f32), data, g,
+      *[jnp.zeros((bsz, _PACKW, s_pad), f32) for _ in range(n_rel)])
 
-    # unsort: gather each candidate's gradient row, sum the <=2^n candidate
-    # copies per point, then sum over poses.  Pure gathers, no scatters.
-    def unsort_one(dc, sl):
-        rows = jnp.take(dc, sl, axis=0, mode="fill", fill_value=0.0)
-        return rows.reshape(p, n_cand, _PACKW).sum(axis=1)  # (P, PACKW)
+    bufs = outs[:n_rel]
+    dt_k, dr_k, dow_k = outs[n_rel:]
+    total = bufs[0]
+    for bfr in bufs[1:]:
+        total = total + bfr                               # (B, PACKW, S_pad)
 
-    per_pose = jax.vmap(unsort_one)(dcand, slot)         # (B, P, PACKW)
-    d_points = jnp.sum(per_pose[..., :n_in], axis=0)
-    d_pw = jnp.sum(per_pose[..., n_in], axis=0)
+    # unsort via sort#3 by point id (a sort is the TPU's fast
+    # permutation).  Keys live in the INPUT data planes; the gradient
+    # buffers are row-aligned with them.
+    ptidx_plane = n_out + 1
+
+    def unsort_one(grads, dat):
+        keys = dat[ptidx_plane].astype(jnp.int32)
+        sorted3 = lax.sort((keys,) + tuple(grads[i] for i in
+                                           range(_PACKW)),
+                           dimension=0, num_keys=1)
+        return jnp.stack(sorted3[1:], axis=0)[:, :p]      # (PACKW, P)
+
+    per_pose = jax.vmap(unsort_one)(total, data)
+    d_points = jnp.sum(per_pose[:, :n_in, :], axis=0).T   # (P, n_in)
+    d_pw = jnp.sum(per_pose[:, n_in, :], axis=0)
 
     dtype = jnp.result_type(points, rotation, ds_dout)
     return PullbackResult(
