@@ -399,44 +399,110 @@ def raster_fwd(grid_size, points, rotation, translation, background,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
-                out_refs, dt_ref, dr_ref, dow_ref,
-                scratch_in, scratch_out, sem_in, sem_out, *,
-                grid_size, tile, chunk, runs, n_in):
+def _run_tables(n_out):
+    """Const (NREL, MAXR, 2) match-run and (NREL, MAXZ, 2) zero-fill-run
+    class-interval tables (clo, chi); empty slots are (1, 0)."""
+    import numpy as np
+    ncls = 2 ** n_out
+    match, zfill = [], []
+    for rel in range(ncls):
+        m = [(clo, chi) for (r, clo, chi) in _runs_for(n_out) if r == rel]
+        non = [c for c in range(ncls) if (c & rel) != rel]
+        z = []
+        lo = prev = None
+        for c in non + [None]:
+            if c is not None and prev is not None and c == prev + 1:
+                prev = c
+                continue
+            if prev is not None:
+                z.append((lo, prev))
+            lo = prev = c
+        match.append(m)
+        zfill.append(z)
+    maxr = max(len(m) for m in match)
+    maxz = max((len(z) for z in zfill), default=1) or 1
+    mt = np.full((ncls, maxr, 2), (1, 0), np.int32)
+    zt = np.full((ncls, maxz, 2), (1, 0), np.int32)
+    for r in range(ncls):
+        for j, (a, bb) in enumerate(match[r]):
+            mt[r, j] = (a, bb)
+        for j, (a, bb) in enumerate(zfill[r]):
+            zt[r, j] = (a, bb)
+    return mt, zt
+
+
+def _bwd_kernel(seg_ref, ow_ref, rot_ref, mt_ref, zt_ref, data_ref, g_ref,
+                buf_ref, dt_ref, dr_ref, dow_ref,
+                scratch_in, scratch_out, scratch_zero, sem_in, sem_out, *,
+                grid_size, tile, chunk, n_in, s_pad, maxr, maxz):
+    """Own-segment backward, one (pose, tile, relation) per instance:
+    reads only its own tile's matching class segments, computes the
+    gradient contribution against the rel-neighbour's cotangent block
+    (index-mapped input, clamped at edges and zeroed by validity), and
+    writes its own rows of the merged (NREL, ...) gradient buffer —
+    every row of every relation plane is written exactly once (explicit
+    zero-fill for non-matching classes and the global tail)."""
     n = len(grid_size)
     nts = [g // t for g, t in zip(grid_size, tile)]
     ncls = 2 ** n
+    nt = math.prod(nts)
     b = pl.program_id(0)
     t = pl.program_id(1)
+    rel = pl.program_id(2)
     ow = ow_ref[0, 0, 0]
     rot = rot_ref[0]                                      # (n, n_in)
     f32, bf16 = jnp.float32, jnp.bfloat16
-    if n == 2:
-        oy = (t // nts[1]) * tile[0]
-        ox = (t % nts[1]) * tile[1]
-        g = g_ref[0]
-    else:
-        oz = (t // (nts[1] * nts[2])) * tile[0]
-        oy = ((t // nts[2]) % nts[1]) * tile[1]
-        ox = (t % nts[2]) * tile[2]
-        g = g_ref[0].reshape(tile[0] * tile[1], tile[2])
+    h_all = [float(sz) for sz in grid_size]
+
+    tc = []
+    rem = t
+    for i in range(n):
+        stride = math.prod(nts[i + 1:])
+        tc.append(rem // stride)
+        rem = rem % stride
+    origins = []
+    valid = jnp.bool_(True)
+    for i in range(n):
+        off = (rel // (2 ** i)) % 2
+        origins.append((tc[i] + off) * tile[i])
+        valid = jnp.logical_and(valid,
+                                jnp.logical_or(off == 0,
+                                               tc[i] + 1 < nts[i]))
+    vmul = valid.astype(f32)
+
+    g = g_ref[0]
+    if n == 3:
+        g = g.reshape(tile[0] * tile[1], tile[2])
     g_hi = g.astype(bf16)
     g_lo = (g - g_hi.astype(f32)).astype(bf16)
-    h_all = [float(s) for s in grid_size]
 
-    def compute(cols, rmask):
-        """-> (out_mat (C, PACKW) grad rows, dt (1,n), dr (n,n_in),
-        dow scalar)."""
+    scratch_zero[...] = jnp.zeros_like(scratch_zero)
+
+    def write(src, pos):
+        cp = pltpu.make_async_copy(
+            src, buf_ref.at[rel, b, :, pl.ds(pos, chunk)], sem_out)
+        cp.start()
+        cp.wait()
+
+    def zero_fill(lo, hi):
+        nsteps = jnp.maximum(0, (hi - lo) // chunk)
+
+        def zbody(i_, _):
+            write(scratch_zero, lo + i_ * chunk)
+            return 0
+
+        lax.fori_loop(0, nsteps, zbody, 0)
+
+    def compute(cols):
         if n == 2:
+            oy, ox = origins
             uy = cols[:, 0:1]
             ux = cols[:, 1:2]
-            pw = cols[:, 2:3] * rmask
+            pw = cols[:, 2:3] * vmul
             pts = cols[:, 4:4 + n_in]
             r0yf = jnp.ceil(uy) - 1
             dly = uy - r0yf
             r0y = r0yf.astype(jnp.int32) - oy
-            okm = (r0y >= -1) & (r0y < tile[0])
-            r0y = jnp.where(okm, r0y, -9)
             r0cat = jnp.concatenate([r0y, r0y + 1], axis=0)
             iota_c = lax.broadcasted_iota(jnp.int32, (2 * chunk, tile[0]),
                                           1)
@@ -448,17 +514,16 @@ def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
                                      preferred_element_type=f32))
             p0, p1 = res[:chunk], res[chunk:]
             v1 = (1 - dly) * p0 + dly * p1
-            dus = [p1 - p0]                               # d/du_y via bx
             bx, db, _, _ = _onehot_pair_cols(ux, tile[1], ox)
             gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
-            du_y = jnp.sum(dus[0] * bx, axis=1, keepdims=True)
-            du_x = jnp.sum(v1 * db, axis=1, keepdims=True)
-            du = [du_y, du_x]
+            du = [jnp.sum((p1 - p0) * bx, axis=1, keepdims=True),
+                  jnp.sum(v1 * db, axis=1, keepdims=True)]
         else:
+            oz, oy, ox = origins
             uz = cols[:, 0:1]
             uy = cols[:, 1:2]
             ux = cols[:, 2:3]
-            pw = cols[:, 3:4] * rmask
+            pw = cols[:, 3:4] * vmul
             pts = cols[:, 5:5 + n_in]
             r0zf = jnp.ceil(uz) - 1
             dlz = uz - r0zf
@@ -471,7 +536,8 @@ def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
                 for sy in (0, 1):
                     z = r0z + sz
                     y = r0y + sy
-                    okm = (z >= 0) & (z < tile[0]) & (y >= 0) & (y < tile[1])
+                    okm = (z >= 0) & (z < tile[0]) & (y >= 0) \
+                        & (y < tile[1])
                     idxs.append(jnp.where(okm, z * tile[1] + y, -1))
             idx_cat = jnp.concatenate(idxs, axis=0)
             iota_c = lax.broadcasted_iota(
@@ -503,7 +569,8 @@ def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
                               precision=lax.Precision.HIGHEST,
                               preferred_element_type=f32)  # (C, n_in)
         pad = jnp.zeros((chunk, _PACKW - n_in - 1), f32)
-        out_mat = jnp.concatenate([d_p, gw * ow * rmask, pad], axis=1)
+        out_mat = jnp.concatenate(
+            [d_p, gw * ow * vmul, pad], axis=1)
         dt = jnp.sum(scaled, axis=0, keepdims=True)
         dr = lax.dot_general(scaled, pts, (((0,), (0,)), ((), ())),
                              precision=lax.Precision.HIGHEST,
@@ -511,33 +578,16 @@ def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
         dow_ = jnp.sum(gw * pw)
         return out_mat, dt, dr, dow_
 
-    # per-run loops; writes go to the rel-indexed output buffer
-    tc = []
-    rem = t
-    for i in range(n):
-        stride = math.prod(nts[i + 1:])
-        tc.append(rem // stride)
-        rem = rem % stride
+    acc = (jnp.zeros((1, n), f32), jnp.zeros((n, n_in), f32),
+           jnp.zeros((), f32))
+    for j in range(maxr):
+        clo = mt_ref[0, rel, j, 0]
+        chi = mt_ref[0, rel, j, 1]
+        lo = seg_ref[0, 0, t * ncls + clo]
+        hi = seg_ref[0, 0, t * ncls + chi + 1]
+        nsteps = jnp.maximum(0, (hi - lo) // chunk)
 
-    acc_t = jnp.zeros((1, n), f32)
-    acc_r = jnp.zeros((n, n_in), f32)
-    acc_ow = jnp.zeros((), f32)
-    for run_i, (rel, clo, chi) in enumerate(runs):
-        nb = jnp.int32(0)
-        okv = jnp.bool_(True)
-        for i in range(n):
-            stride = math.prod(nts[i + 1:])
-            off = 1 if (rel >> i) & 1 else 0
-            if off:
-                okv = jnp.logical_and(okv, tc[i] - off >= 0)
-            nb = nb + (tc[i] - off) * stride
-        lo = seg_ref[0, 0, nb * ncls + clo]
-        hi = seg_ref[0, 0, nb * ncls + chi + 1]
-        # segments are 128-padded (sort #2), so lo/hi are 128-aligned and
-        # writes below never touch another segment's rows.
-        nsteps = jnp.where(okv, (hi - lo + chunk - 1) // chunk, 0)
-
-        def body(i_, carry, lo=lo, hi=hi, rel=rel):
+        def body(i_, carry, lo=lo):
             at, ar, aow = carry
             pos = lo + i_ * chunk
             dma = pltpu.make_async_copy(
@@ -545,33 +595,27 @@ def _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref,
             dma.start()
             dma.wait()
             cols = scratch_in[...].T
-            ri = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + pos
-            rmask = ((ri >= lo) & (ri < hi)).astype(f32)
-            out_mat, dt, dr, dow_ = compute(cols, rmask)
+            out_mat, dt, dr, dow_ = compute(cols)
             scratch_out[...] = out_mat.T                  # (PACKW, C)
-            rem_rows = hi - pos
-            dst = out_refs[rel]
-
-            def wr(sz):
-                def _():
-                    cp = pltpu.make_async_copy(
-                        scratch_out.at[:, pl.ds(0, sz)],
-                        dst.at[b, :, pl.ds(pos, sz)], sem_out)
-                    cp.start()
-                    cp.wait()
-                return _
-
-            for sz in range(_ALIGN, chunk + 1, _ALIGN):
-                pl.when(rem_rows == sz)(wr(sz))
-            pl.when(rem_rows > chunk)(wr(chunk))
+            write(scratch_out, pos)
             return at + dt, ar + dr, aow + dow_
 
-        acc_t, acc_r, acc_ow = lax.fori_loop(
-            0, nsteps, body, (acc_t, acc_r, acc_ow))
+        acc = lax.fori_loop(0, nsteps, body, acc)
 
-    dt_ref[0, 0] = acc_t
-    dr_ref[0, 0] = acc_r
-    dow_ref[0, 0] = acc_ow.reshape(1, 1)
+    for j in range(maxz):
+        clo = zt_ref[0, rel, j, 0]
+        chi = zt_ref[0, rel, j, 1]
+        lo = seg_ref[0, 0, t * ncls + clo]
+        hi = seg_ref[0, 0, t * ncls + chi + 1]
+        zero_fill(lo, jnp.maximum(lo, hi))
+
+    @pl.when(t == 0)
+    def _():
+        zero_fill(seg_ref[0, 0, ncls * nt], s_pad)
+
+    dt_ref[0, 0, 0] = acc[0]
+    dr_ref[0, 0, 0] = acc[1]
+    dow_ref[0, 0, 0] = acc[2].reshape(1, 1)
 
 
 def _prep_bwd(grid_size, ts, points, rotation, translation, out_weight,
@@ -585,7 +629,7 @@ def _prep_bwd(grid_size, ts, points, rotation, translation, out_weight,
     ncls = 2 ** n_out
     l_seg = nt * ncls
     p, n_in = points.shape
-    s_pad = -(-p // _ALIGN) * _ALIGN + l_seg * _ALIGN + chunk
+    s_pad = -(-p // chunk) * chunk + l_seg * chunk + chunk
     f32 = jnp.float32
 
     u = _transform_u(points.astype(f32), rotation.astype(f32),
@@ -604,7 +648,9 @@ def _prep_bwd(grid_size, ts, points, rotation, translation, out_weight,
         skey = sorted_ops[0]
         seg = _seg_table(skey, l_seg)                     # (L+1,)
         counts = jnp.diff(seg)
-        padded = -(-counts // _ALIGN) * _ALIGN
+        # pad to full chunks: kernel writes are then always whole-chunk
+        # DMAs (no tail-size branching, no row masks)
+        padded = -(-counts // chunk) * chunk
         poffs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                  jnp.cumsum(padded).astype(jnp.int32)])
         # slot of each sorted row: poffs[key] + rank.  Lookups are
@@ -617,18 +663,18 @@ def _prep_bwd(grid_size, ts, points, rotation, translation, out_weight,
         rank = jnp.arange(skey.shape[0], dtype=jnp.int32) - seg_of
         slot = jnp.where(skey < l_seg, (poff_of + rank).astype(f32),
                          jnp.float32(s_pad + 1))
-        # fillers: pad each segment to its 128 multiple (static repeats —
-        # a reshape-broadcast, not a gather)
-        f_k = jnp.tile(jnp.arange(_ALIGN, dtype=jnp.int32), l_seg)
-        f_needed = jnp.repeat(padded - counts, _ALIGN)
-        f_base = jnp.repeat(poffs[:-1] + counts, _ALIGN)
+        # fillers: pad each segment to its chunk multiple (static
+        # repeats — a reshape-broadcast, not a gather)
+        f_k = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), l_seg)
+        f_needed = jnp.repeat(padded - counts, chunk)
+        f_base = jnp.repeat(poffs[:-1] + counts, chunk)
         f_slot = jnp.where(f_k < f_needed, (f_base + f_k).astype(f32),
                            jnp.float32(s_pad + 2))
         # pad the sort input to exactly s_pad rows (rounding + DMA slack)
-        n_extra = s_pad - (p + l_seg * _ALIGN)
+        n_extra = s_pad - (p + l_seg * chunk)
         all_slots = jnp.concatenate(
             [slot, f_slot, jnp.full((n_extra,), float(s_pad + 3), f32)])
-        fill_len = l_seg * _ALIGN + n_extra
+        fill_len = l_seg * chunk + n_extra
         fill_cols = [jnp.full((fill_len,), -8.0, f32)] * n_out \
             + [jnp.zeros((fill_len,), f32)] \
             + [jnp.full((fill_len,), float(p), f32)] \
@@ -667,67 +713,72 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     runs = _runs_for(n_out)
     n_rel = 2 ** n_out
 
-    if n_out == 2:
-        g_index = lambda b, t: (b, t // nts[1], t % nts[1])
-    else:
-        g_index = lambda b, t: (b, t // (nts[1] * nts[2]),
-                                (t // nts[2]) % nts[1], t % nts[2])
+    mt, zt = _run_tables(n_out)
+    maxr, maxz = mt.shape[1], zt.shape[1]
+    mt_j = jnp.asarray(mt)[None]                          # (1, NREL, MAXR, 2)
+    zt_j = jnp.asarray(zt)[None]
 
-    def kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref, *refs):
-        # refs: n_rel aliased zero inputs, n_rel output buffers, 3 slabs,
-        # then scratch.
-        out_refs = refs[n_rel:2 * n_rel]
-        dt_ref, dr_ref, dow_ref = refs[2 * n_rel:2 * n_rel + 3]
-        scratch_in, scratch_out, sem_in, sem_out = refs[2 * n_rel + 3:]
-        _bwd_kernel(seg_ref, ow_ref, rot_ref, data_ref, g_ref, out_refs,
-                    dt_ref, dr_ref, dow_ref, scratch_in, scratch_out,
-                    sem_in, sem_out, grid_size=grid_size, tile=ts,
-                    chunk=chunk, runs=runs, n_in=n_in)
+    if n_out == 2:
+        def g_index(b, t, r):
+            return (b,
+                    jnp.minimum(t // nts[1] + r % 2, nts[0] - 1),
+                    jnp.minimum(t % nts[1] + (r // 2) % 2, nts[1] - 1))
+    else:
+        def g_index(b, t, r):
+            return (b,
+                    jnp.minimum(t // (nts[1] * nts[2]) + r % 2,
+                                nts[0] - 1),
+                    jnp.minimum((t // nts[2]) % nts[1] + (r // 2) % 2,
+                                nts[1] - 1),
+                    jnp.minimum(t % nts[2] + (r // 4) % 2, nts[2] - 1))
 
     outs = pl.pallas_call(
-        kernel,
-        grid=(bsz, nt),
+        functools.partial(_bwd_kernel, grid_size=grid_size, tile=ts,
+                          chunk=chunk, n_in=n_in, s_pad=s_pad, maxr=maxr,
+                          maxz=maxz),
+        grid=(bsz, nt, n_rel),
         in_specs=[
-            pl.BlockSpec((1, 1, l_seg + 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, 1, l_seg + 1), lambda b, t, r: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda b, t, r: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_out, n_in), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_out, n_in), lambda b, t, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + mt.shape, lambda b, t, r: (0, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,) + zt.shape, lambda b, t, r: (0, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1,) + ts, g_index, memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_rel,
-        # each gradient row lands in only the buffers of its straddle
-        # relations; alias donated zero inputs so the rest reads as 0.
-        input_output_aliases={5 + i: i for i in range(n_rel)},
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_rel + [
-            pl.BlockSpec((1, 1, 1, n_out), lambda b, t: (b, t, 0, 0),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 1, 1, n_out),
+                         lambda b, t, r: (b, t, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_out, n_in), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, n_out, n_in),
+                         lambda b, t, r: (b, t, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, 1), lambda b, t, r: (b, t, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((bsz, _PACKW, s_pad), f32)
-                   for _ in range(n_rel)] + [
-            jax.ShapeDtypeStruct((bsz, nt, 1, n_out), f32),
-            jax.ShapeDtypeStruct((bsz, nt, n_out, n_in), f32),
-            jax.ShapeDtypeStruct((bsz, nt, 1, 1), f32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rel, bsz, _PACKW, s_pad), f32),
+            jax.ShapeDtypeStruct((bsz, nt, n_rel, 1, n_out), f32),
+            jax.ShapeDtypeStruct((bsz, nt, n_rel, n_out, n_in), f32),
+            jax.ShapeDtypeStruct((bsz, nt, n_rel, 1, 1), f32),
         ],
         scratch_shapes=[pltpu.VMEM((_PACKW, chunk), f32),
+                        pltpu.VMEM((_PACKW, chunk), f32),
                         pltpu.VMEM((_PACKW, chunk), f32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(poffs[:, None, :], out_weight.astype(f32)[:, None, None],
-      rotation.astype(f32), data, g,
-      *[jnp.zeros((bsz, _PACKW, s_pad), f32) for _ in range(n_rel)])
+      rotation.astype(f32), mt_j, zt_j, data, g)
 
-    bufs = outs[:n_rel]
-    dt_k, dr_k, dow_k = outs[n_rel:]
-    total = bufs[0]
-    for bfr in bufs[1:]:
-        total = total + bfr                               # (B, PACKW, S_pad)
+    buf, dt_k, dr_k, dow_k = outs
+    total = jnp.sum(buf, axis=0)                          # (B, PACKW, S_pad)
 
     # unsort via sort#3 by point id (a sort is the TPU's fast
     # permutation).  Keys live in the INPUT data planes; the gradient
@@ -748,9 +799,10 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     dtype = jnp.result_type(points, rotation, ds_dout)
     return PullbackResult(
         points=d_points.astype(dtype),
-        rotation=jnp.sum(dr_k, axis=1).astype(dtype),
-        translation=jnp.sum(dt_k[:, :, 0, :], axis=1).astype(dtype),
+        rotation=jnp.sum(dr_k, axis=(1, 2)).astype(dtype),
+        translation=jnp.sum(dt_k[:, :, :, 0, :], axis=(1, 2)).astype(dtype),
         background=jnp.sum(g.reshape(bsz, -1), axis=-1).astype(dtype),
-        out_weight=jnp.sum(dow_k[:, :, 0, 0], axis=1).astype(dtype),
+        out_weight=jnp.sum(dow_k[:, :, :, 0, 0],
+                           axis=(1, 2)).astype(dtype),
         point_weight=d_pw.astype(dtype),
     )
