@@ -13,9 +13,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 # (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms)
 CONFIGS = [

@@ -38,11 +38,16 @@ from dprast.ops.core import PullbackResult
 #   is {0,1}-valued and therefore EXACT in bf16; the coefficient-bearing
 #   factor is split into hi+lo bf16 parts (error ~2^-18 relative, i.e.
 #   ~4e-6 — under the 1e-5 parity target) and both matmuls run at the full
-#   native bf16 MXU rate with f32 accumulation.  ~2x faster than HIGHEST.
+#   native bf16 MXU rate with f32 accumulation.
 # - lax.Precision.HIGHEST: f32-faithful multi-pass matmuls.
 # - lax.Precision.DEFAULT: 1-pass bf16 on the f32 factors (~4e-3 error).
 #
 # (Mosaic does not support lax.Precision.HIGH in-kernel.)
+#
+# The split scheme is ONLY valid inside Mosaic kernels: XLA's algebraic
+# simplifier rewrites dot(o, hi) + dot(o, lo) into dot(o, hi + lo) whose
+# bf16 add destroys the compensation (measured 1e-3 error via XLA einsums
+# vs 4.9e-6 here) — do not port this pattern to the XLA backends.
 _PRECISION = "split"
 
 _DEF_CHUNK = 1024
