@@ -22,7 +22,6 @@ pose gradients are written to small (K, B, ...) buffers and reduced outside
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

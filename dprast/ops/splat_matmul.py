@@ -30,7 +30,6 @@ buffer on the pure-XLA path here).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

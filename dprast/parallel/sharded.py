@@ -22,7 +22,6 @@ background gradients need no collective at all.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
