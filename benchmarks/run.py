@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 # (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms)
 CONFIGS = [
+    ("64sq_2d_1e4", 10_000, 64, (64, 64), 2, None, None),  # BASELINE cfg 2
     ("128sq_1e4", 10_000, 64, (128, 128), 3, 15.0, 1.0),
     ("1024sq_1e4", 10_000, 64, (1024, 1024), 3, 16.0, 2.0),
     ("128sq_1e5", 100_000, 64, (128, 128), 3, 153.0, 9.0),
