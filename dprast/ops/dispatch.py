@@ -76,8 +76,13 @@ def resolve(backend: str, n_out: int, grid_size=None) -> str:
         for s in grid_size:
             voxels *= s
         big = voxels > (256 * 256 if n_out == 2 else 32 ** 3)
-        if big and _REGISTRY["tiled"][2](n_out, grid_size):
-            return "tiled"
+        if big:
+            if _REGISTRY["tiled"][2](n_out, grid_size):
+                return "tiled"
+            # huge grids the tiled backend cannot tile (e.g. 1024^3):
+            # the scatter oracle's cost scales with SPLATS, not voxels,
+            # while the dense matmul path scales with prod(grid).
+            return "xla"
     if splat_matmul.supported(n_out):
         return "matmul"
     return "xla"
