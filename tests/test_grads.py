@@ -128,6 +128,24 @@ def test_batched_equals_loop_of_singles():
                                atol=1e-9)
 
 
+def test_batched_equals_vmap_of_singles():
+    """The batched path must equal vmap over the single-pose path — the
+    same contract as the loop consistency test but through JAX's own
+    batching machinery."""
+    fx = _fx(n_points=24, batch=5)
+
+    out_b = dprast.raster(GRID, *fx.values())
+
+    def single(rot, tr, bg, ow):
+        return dprast.raster(GRID, fx["points"], rot, tr, bg, ow,
+                             fx["point_weight"])
+
+    out_v = jax.vmap(single)(fx["rotation"], fx["translation"],
+                             fx["background"], fx["out_weight"])
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_b),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_jit_vmap_compose():
     """raster composes with jit and vmap over an extra leading axis."""
     fx = _fx()
