@@ -30,6 +30,18 @@ register("xla", core.raster_fwd, core.raster_pullback,
          lambda n_out, grid=None: True)
 register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
          lambda n_out, grid=None: splat_matmul.supported(n_out))
+
+# Documented fast mode: 1-pass bf16 matmuls (~4e-3 relative error — fine
+# for rendering/fitting, outside the 1e-5 reference-parity contract).
+import functools as _functools  # noqa: E402
+import jax.lax as _lax  # noqa: E402
+
+register("matmul_bf16",
+         _functools.partial(splat_matmul.raster_fwd,
+                            precision=_lax.Precision.DEFAULT),
+         _functools.partial(splat_matmul.raster_pullback,
+                            precision=_lax.Precision.DEFAULT),
+         lambda n_out, grid=None: splat_matmul.supported(n_out))
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          pallas_splat.supported)
 register("tiled", splat_tiled.raster_fwd, splat_tiled.raster_pullback,

@@ -160,3 +160,15 @@ def test_jit_vmap_compose():
     assert out_v.shape == (2,) + out.shape
     np.testing.assert_allclose(np.asarray(out_v[0]), np.asarray(out),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_matmul_bf16_fast_mode_close():
+    """The documented fast mode trades ~bf16 accuracy for speed; it must
+    stay within its advertised tolerance of the faithful backend."""
+    fx = _fx(n_points=64, batch=4)
+    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
+    ref = dprast.raster(GRID, *args, backend="matmul")
+    fast = dprast.raster(GRID, *args, backend="matmul_bf16")
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    np.testing.assert_allclose(np.asarray(fast) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
