@@ -189,6 +189,13 @@ def raster(grid_size, points, rotation, translation, background=None,
     grid_size, args, batched = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
+    if args[0].shape[0] == 0:
+        # empty cloud: the background image (all backends chunk by points)
+        b = args[1].shape[0]
+        out = jnp.broadcast_to(
+            args[3].reshape((b,) + (1,) * len(grid_size)),
+            (b,) + grid_size)
+        return out if batched else out[0]
     resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     out = ad.raster_canonical(grid_size, resolved, *args)
     return out if batched else out[0]
@@ -220,9 +227,17 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
         raise ValueError(
             f"ds_dout shape {ds_dout.shape} does not match output shape "
             f"{(args[1].shape[0],) + grid_size}")
-    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
-    res = dispatch.bwd_fn(resolved)(grid_size, *args,
-                                    ds_dout.astype(args[0].dtype))
+    if args[0].shape[0] == 0:
+        b = args[1].shape[0]
+        g = ds_dout.astype(args[0].dtype)
+        res = (jnp.zeros_like(args[0]), jnp.zeros_like(args[1]),
+               jnp.zeros_like(args[2]), jnp.sum(g.reshape(b, -1), axis=-1),
+               jnp.zeros((b,), args[0].dtype),
+               jnp.zeros((0,), args[0].dtype))
+    else:
+        resolved = dispatch.resolve(backend, len(grid_size), grid_size)
+        res = dispatch.bwd_fn(resolved)(grid_size, *args,
+                                        ds_dout.astype(args[0].dtype))
     d_points, d_rot, d_trans, d_bg, d_ow, d_pw = res
     if not batched:
         d_rot, d_trans = d_rot[0], d_trans[0]

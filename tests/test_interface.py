@@ -189,3 +189,15 @@ def test_splat_weights_sum_to_one():
     w = geometry.splat_weights(dl, shifts)
     np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=-1)), 1.0,
                                rtol=1e-12)
+
+
+def test_empty_point_cloud():
+    """Zero points renders the background and returns empty/zero grads."""
+    out = dprast.raster(GRID, np.zeros((0, 2)), np.eye(2), np.zeros(2), 0.7)
+    np.testing.assert_allclose(np.asarray(out), 0.7)
+    g = np.ones(GRID)
+    pb = dprast.raster_pullback(g, np.zeros((0, 2)), np.eye(2),
+                                np.zeros(2), 0.7)
+    assert pb.points.shape == (0, 2)
+    np.testing.assert_allclose(float(pb.background), float(np.sum(g)))
+    np.testing.assert_allclose(np.asarray(pb.translation), 0.0)
