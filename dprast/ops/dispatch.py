@@ -14,7 +14,10 @@ a *kernel strategy*:
 
 from __future__ import annotations
 
+import functools
+
 import jax
+from jax import lax
 
 from dprast.ops import core, pallas_splat, splat_matmul, splat_tiled
 
@@ -33,14 +36,11 @@ register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
 
 # Documented fast mode: 1-pass bf16 matmuls (~4e-3 relative error — fine
 # for rendering/fitting, outside the 1e-5 reference-parity contract).
-import functools as _functools  # noqa: E402
-import jax.lax as _lax  # noqa: E402
-
 register("matmul_bf16",
-         _functools.partial(splat_matmul.raster_fwd,
-                            precision=_lax.Precision.DEFAULT),
-         _functools.partial(splat_matmul.raster_pullback,
-                            precision=_lax.Precision.DEFAULT),
+         functools.partial(splat_matmul.raster_fwd,
+                           precision=lax.Precision.DEFAULT),
+         functools.partial(splat_matmul.raster_pullback,
+                           precision=lax.Precision.DEFAULT),
          lambda n_out, grid=None: splat_matmul.supported(n_out))
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          pallas_splat.supported)
