@@ -72,3 +72,30 @@ def test_jit_second_call_fast():
     r1 = compiled(*args)
     r2 = compiled(*args)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_composes_with_remat_and_scan():
+    """raster must compose with jax.checkpoint and lax.scan — the
+    building blocks of production training loops."""
+    fx = fixtures(seed=3, n_points=20, batch_size=2, n_in=3, n_out=2)
+    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
+
+    @jax.checkpoint
+    def render(pts):
+        return dprast.raster((8, 8), pts, *args[1:])
+
+    def loss(pts):
+        return jnp.sum(render(pts) ** 2)
+
+    g = jax.grad(loss)(args[0])
+    g_ref = jax.grad(lambda p: jnp.sum(
+        dprast.raster((8, 8), p, *args[1:]) ** 2))(args[0])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+
+    def step(pts, _):
+        val, gr = jax.value_and_grad(loss)(pts)
+        return pts - 1e-3 * gr, val
+
+    pts_final, losses = jax.lax.scan(step, args[0], None, length=5)
+    assert losses.shape == (5,)
+    assert float(losses[-1]) <= float(losses[0])
