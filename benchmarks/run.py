@@ -90,16 +90,27 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0])
     bwd = jax.jit(lambda c: dispatch.bwd_fn(backend)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw, g).translation.ravel()[0])
-    t_fwd = _per_iter(fwd)
-    t_bwd = _per_iter(bwd)
+    rec = {"config": name, "backend": backend}
     splats = n_points * batch * 2 ** len(grid)
-    rec = {
-        "config": name, "backend": backend,
-        "t_fwd_ms": round(t_fwd * 1e3, 3), "t_bwd_ms": round(t_bwd * 1e3, 3),
-        "splats_per_s": splats / (t_fwd + t_bwd),
-    }
-    if ref_fwd is not None:
-        rec["vs_a100"] = round((ref_fwd + ref_bwd) / 1e3 / (t_fwd + t_bwd), 2)
+    # report partially: a compile failure in one direction (e.g. the dev
+    # tunnel's payload cap) must not discard the other's measurement
+    try:
+        t_fwd = _per_iter(fwd)
+        rec["t_fwd_ms"] = round(t_fwd * 1e3, 3)
+    except Exception as e:
+        t_fwd = None
+        rec["fwd_error"] = str(e)[:120]
+    try:
+        t_bwd = _per_iter(bwd)
+        rec["t_bwd_ms"] = round(t_bwd * 1e3, 3)
+    except Exception as e:
+        t_bwd = None
+        rec["bwd_error"] = str(e)[:120]
+    if t_fwd is not None and t_bwd is not None:
+        rec["splats_per_s"] = splats / (t_fwd + t_bwd)
+        if ref_fwd is not None:
+            rec["vs_a100"] = round((ref_fwd + ref_bwd) / 1e3
+                                   / (t_fwd + t_bwd), 2)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -122,9 +133,14 @@ def main():
     print(f"\n{'config':<14} {'backend':<8} {'fwd ms':>9} {'bwd ms':>9} "
           f"{'splats/s':>12} {'vs A100':>8}")
     for r in rows:
-        print(f"{r['config']:<14} {r['backend']:<8} {r['t_fwd_ms']:>9.2f} "
-              f"{r['t_bwd_ms']:>9.2f} {r['splats_per_s']:>12.3e} "
-              f"{r.get('vs_a100', float('nan')):>8}")
+        fwd = r.get("t_fwd_ms")
+        bwd = r.get("t_bwd_ms")
+        sps = r.get("splats_per_s")
+        print(f"{r['config']:<14} {r['backend']:<8} "
+              f"{fwd if fwd is not None else '-':>9} "
+              f"{bwd if bwd is not None else '-':>9} "
+              f"{f'{sps:.3e}' if sps else '-':>12} "
+              f"{r.get('vs_a100', '-'):>8}")
 
 
 if __name__ == "__main__":
