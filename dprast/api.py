@@ -189,6 +189,7 @@ def raster(grid_size, points, rotation, translation, background=None,
     grid_size, args, batched = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     if args[0].shape[0] == 0:
         # empty cloud: the background image (all backends chunk by points)
         b = args[1].shape[0]
@@ -196,7 +197,6 @@ def raster(grid_size, points, rotation, translation, background=None,
             args[3].reshape((b,) + (1,) * len(grid_size)),
             (b,) + grid_size)
         return out if batched else out[0]
-    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     out = ad.raster_canonical(grid_size, resolved, *args)
     return out if batched else out[0]
 
@@ -227,6 +227,7 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
         raise ValueError(
             f"ds_dout shape {ds_dout.shape} does not match output shape "
             f"{(args[1].shape[0],) + grid_size}")
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
     if args[0].shape[0] == 0:
         b = args[1].shape[0]
         g = ds_dout.astype(args[0].dtype)
@@ -235,7 +236,6 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
                jnp.zeros((b,), args[0].dtype),
                jnp.zeros((0,), args[0].dtype))
     else:
-        resolved = dispatch.resolve(backend, len(grid_size), grid_size)
         res = dispatch.bwd_fn(resolved)(grid_size, *args,
                                         ds_dout.astype(args[0].dtype))
     d_points, d_rot, d_trans, d_bg, d_ow, d_pw = res

@@ -128,6 +128,109 @@ def splat_weight_grads(dl: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     return sign * prod_exc
 
 
+# ---------------------------------------------------------------------------
+# Compensated (double-float32) coordinate pipeline.
+#
+# A plain f32 transform gives grid coordinates with absolute error
+# ~n/2 * 2^-23 (3e-5 at n=1024) — above the 1e-5 reference-parity target all
+# by itself.  These helpers carry an (hi, lo) double-f32 pair through
+# q = R@p + t and u = (q+1)*n/2 - 1/2 so `dl` is accurate to ~2^-23 absolute
+# for any grid size.  XLA preserves the IEEE operation order (verified: no
+# fast-math reassociation), so TwoSum/TwoProd are exact.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (s = fl(a+b))."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _split_f32(a):
+    """Veltkamp split of an f32 into 12+12-bit halves."""
+    c = a * jnp.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd: p + e == a * b exactly (p = fl(a*b))."""
+    p = a * b
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def grid_coords_2f(points: jnp.ndarray, rotation: jnp.ndarray,
+                   translation: jnp.ndarray, grid_size: tuple[int, ...]):
+    """Double-f32 fractional grid coordinates of transformed points.
+
+    points: (P, N_in); rotation: (B, N_out, N_in); translation: (B, N_out)
+    → (u_hi, u_lo) each (B, P, N_out) with
+    ``u_hi + u_lo ≈ (R@p + t + 1) * n/2 - 1/2`` to ~2^-46 relative.
+    """
+    f32 = jnp.float32
+    pts = points.astype(f32)
+    rot = rotation.astype(f32)
+    tr = translation.astype(f32)
+    b, n_out, n_in = rot.shape
+    p = pts.shape[0]
+    hi = jnp.broadcast_to(tr[:, None, :], (b, p, n_out))
+    lo = jnp.zeros((b, p, n_out), f32)
+    for j in range(n_in):
+        pr, pe = _two_prod(rot[:, None, :, j], pts[None, :, None, j])
+        hi, e = _two_sum(hi, pr)
+        lo = lo + (pe + e)
+    # u = (q + 1) * scale - 1/2   (scale = n/2 is exact in f32)
+    hi, e = _two_sum(hi, f32(1.0))
+    lo = lo + e
+    scale = jnp.asarray(grid_size, f32) / 2
+    hi, e = _two_prod(hi, scale)
+    lo = lo * scale + e
+    hi, e = _two_sum(hi, f32(-0.5))
+    lo = lo + e
+    hi, e = _two_sum(hi, lo)  # renormalise
+    return hi, e
+
+
+def reference_voxel_and_deltas_2f(u_hi: jnp.ndarray, u_lo: jnp.ndarray):
+    """(r0, dl) from a double-f32 coordinate, keeping ``dl in (0, 1]``.
+
+    Same contract as :func:`reference_voxel_and_deltas` (``r0 = ceil(u)-1``,
+    point on a voxel center → ``dl == 1``) but with `dl` accurate to ~2^-23
+    absolute for any grid size.  The `u_lo` correction can push `dl` across
+    a voxel boundary; one fix-up step restores the invariant.
+    """
+    r0f = jnp.ceil(u_hi) - 1
+    dl = (u_hi - r0f) + u_lo  # u_hi - r0f is exact (both near integers)
+    shift_up = dl > 1.0
+    shift_dn = dl <= 0.0
+    r0f = r0f + shift_up.astype(r0f.dtype) - shift_dn.astype(r0f.dtype)
+    dl = jnp.where(shift_up, dl - 1.0, jnp.where(shift_dn, dl + 1.0, dl))
+    return r0f.astype(jnp.int32), dl
+
+
+def pose_voxel_and_deltas(points: jnp.ndarray, rotation: jnp.ndarray,
+                          translation: jnp.ndarray,
+                          grid_size: tuple[int, ...]):
+    """(r0, dl) for the full pose pipeline at double-f32 accuracy.
+
+    Drop-in replacement for
+    ``reference_voxel_and_deltas(transform_points(...), grid_size)`` used by
+    the performance backends; the compensated pipeline costs ~60 VPU flops
+    per (point, pose, axis) — negligible next to the splat contraction.
+    """
+    if jnp.result_type(points, rotation, translation) == jnp.float64:
+        # f64 inputs are already beyond the target accuracy — keep them.
+        q = transform_points(points, rotation, translation)
+        return reference_voxel_and_deltas(q, grid_size)
+    u_hi, u_lo = grid_coords_2f(points, rotation, translation, grid_size)
+    return reference_voxel_and_deltas_2f(u_hi, u_lo)
+
+
 def flat_strides(grid_size: tuple[int, ...]) -> np.ndarray:
     """Row-major strides for flattening an N-d grid index."""
     return np.array(

@@ -108,8 +108,8 @@ def raster_fwd(grid_size, points, rotation, translation, background,
 
     def step(acc, xs):
         pts_c, pw_c, valid_c = xs
-        q = geometry.transform_points(pts_c, rotation, translation)  # (B,Pc,N_out)
-        r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+        r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
+                                                translation, grid_size)
         facs = [
             _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])[0]
             for i in range(n_out)
@@ -156,8 +156,8 @@ def raster_pullback(grid_size, points, rotation, translation, background,
 
     def step(carry, xs):
         pts_c, pw_c, valid_c = xs
-        q = geometry.transform_points(pts_c, rotation, translation)
-        r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+        r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
+                                                translation, grid_size)
         fs = [
             _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])
             for i in range(n_out)

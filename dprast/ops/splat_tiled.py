@@ -62,7 +62,10 @@ def tile_shape_for(grid_size):
         return (TILE, TILE)
     gz, gy, gx = grid_size
     tz = 8 if gz % 8 == 0 else gz
-    ty = min(128 // tz, gy)
+    # tz > 128 (odd large z) exceeds the plane budget: keep ty >= 1 so the
+    # shape stays well-defined and supported() can reject it (tz*ty > 128)
+    # instead of this loop dividing by zero.
+    ty = min(max(1, 128 // tz), gy)
     while gy % ty:
         ty -= 1
     tx = gx if gx <= 1024 else 1024
@@ -260,6 +263,9 @@ def _mk_run_loop(seg_ref, data_ref, scratch, sem, b, t, ncls, nts, chunk,
             off = 1 if (rel >> i) & 1 else 0
             ok = jnp.logical_and(ok, tc[i] - off >= 0) if off else ok
             nb = nb + (tc[i] - off) * stride
+        # nb < 0 at grid edges (run skipped via nsteps=0 below) — clamp so
+        # the SMEM reads stay in-bounds even for the discarded values.
+        nb = jnp.maximum(nb, 0)
         lo = seg_ref[0, 0, nb * ncls + clo]
         hi = seg_ref[0, 0, nb * ncls + chi + 1]
         a0 = (lo // _ALIGN) * _ALIGN

@@ -201,3 +201,15 @@ def test_empty_point_cloud():
     assert pb.points.shape == (0, 2)
     np.testing.assert_allclose(float(pb.background), float(np.sum(g)))
     np.testing.assert_allclose(np.asarray(pb.translation), 0.0)
+
+
+def test_empty_cloud_still_validates_backend():
+    import jax.numpy as jnp
+    pts = jnp.zeros((0, 3), jnp.float32)
+    rot = jnp.eye(3, dtype=jnp.float32)[:2]
+    tr = jnp.zeros((2,), jnp.float32)
+    with pytest.raises(ValueError, match="backend"):
+        dprast.raster((8, 8), pts, rot, tr, backend="bogus")
+    with pytest.raises(ValueError, match="backend"):
+        dprast.raster_pullback(jnp.zeros((8, 8), jnp.float32), pts, rot, tr,
+                               backend="bogus")

@@ -119,3 +119,12 @@ def test_rejects_unaligned_grid():
     fx = fixtures(seed=1, n_points=10, batch_size=2, n_in=2, n_out=2)
     with pytest.raises(ValueError, match="tiled"):
         dprast.raster((96, 96), *fx.values(), backend="tiled")
+
+
+def test_supported_rejects_untileable_3d_without_crashing():
+    # tz = gz > 128 with gy underflow used to ZeroDivisionError through
+    # dispatch.resolve (ADVICE r1); must cleanly report unsupported.
+    assert not splat_tiled.supported(3, (130, 128, 128))
+    assert not splat_tiled.supported(3, (150, 150, 150))
+    from dprast.ops import dispatch
+    assert dispatch.resolve("auto", 3, (130, 128, 128)) in ("xla", "matmul")

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import dprast
-from dprast.ops import dispatch
+from dprast.ops import dispatch, geometry
 from dprast.utils import profiling
 from dprast.utils.testing import fixtures
 
@@ -40,3 +40,36 @@ def test_annotate_and_trace(tmp_path):
     with profiling.annotate("unit-test"):
         x = jnp.ones((4,)) * 2
     assert float(x.sum()) == 8.0
+
+
+def test_compensated_coords_match_f64():
+    """grid_coords_2f must beat plain-f32 coordinate error by >100x at 1024
+    (plain f32 is ~3e-5 absolute there — above the parity target alone)."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    grid = (1024, 1024)
+    pts = rng.standard_normal((500, 3)).astype(np.float32) * 0.5
+    rot = rng.standard_normal((4, 2, 3)).astype(np.float32)
+    tr = (rng.standard_normal((4, 2)) * 0.1).astype(np.float32)
+    r0, dl = geometry.pose_voxel_and_deltas(
+        jnp.asarray(pts), jnp.asarray(rot), jnp.asarray(tr), grid)
+    q64 = np.einsum("boi,pi->bpo", rot.astype(np.float64),
+                    pts.astype(np.float64)) + tr.astype(np.float64)[:, None]
+    u64 = (q64 + 1) * np.asarray(grid, np.float64) / 2 - 0.5
+    u2 = np.asarray(r0, np.float64) + np.asarray(dl, np.float64)
+    np.testing.assert_allclose(u2, u64, atol=3e-7)
+    assert np.all((np.asarray(dl) > 0) & (np.asarray(dl) <= 1))
+
+
+def test_compensated_coords_exact_centers():
+    """Points on exact voxel centers keep the reference dl == 1 contract."""
+    import numpy as np
+    grid = (5, 5)
+    # voxel j center: q = (j + 0.5) * 2/5 - 1  ->  u = j exactly
+    pts = np.array([[(j + 0.5) * 2 / 5 - 1, 0.0] for j in range(5)],
+                   np.float32)
+    r0, dl = geometry.pose_voxel_and_deltas(
+        jnp.asarray(pts), jnp.eye(2, dtype=jnp.float32)[None],
+        jnp.zeros((1, 2), jnp.float32), grid)
+    assert np.all(np.asarray(dl[0, :, 0]) == 1.0)
+    assert list(np.asarray(r0[0, :, 0])) == [j - 1 for j in range(5)]
