@@ -8,6 +8,8 @@ block_until_ready alone is not trustworthy).
 
 from __future__ import annotations
 
+import functools
+import sys
 import time
 
 import jax
@@ -118,17 +120,23 @@ def bench_dot(m=2048, k=2048, n=2048, dtype="bf16", reps=8):
     return t
 
 
+print = functools.partial(print, flush=True)
+
+
 if __name__ == "__main__":
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("platform:", jax.default_backend())
-    for np_ in (1, 3, 5, 8):
-        bench_sort(n_payload=np_)
-    bench_sort(b=64, p=400_000, n_payload=5)
-    bench_gather()
-    bench_gather(w=8)
-    bench_scatter_add()
-    for dt in ("bf16", "f32_highest", "int8"):
-        bench_dot(dtype=dt)
-    # small-K shapes resembling the splat factor matmuls (H,2C)@(2C,W)
-    for dt in ("bf16", "int8"):
-        bench_dot(m=128, k=1024, n=128, dtype=dt)
-        bench_dot(m=512, k=1024, n=512, dtype=dt)
+    if which in ("all", "dot"):
+        for dt in ("bf16", "f32_highest", "int8"):
+            bench_dot(dtype=dt)
+        # small-K shapes resembling the splat factor matmuls (H,2C)@(2C,W)
+        for dt in ("bf16", "int8"):
+            bench_dot(m=128, k=1024, n=128, dtype=dt)
+    if which in ("all", "sort"):
+        for np_ in (1, 3, 5):
+            bench_sort(n_payload=np_)
+    if which in ("all", "move"):
+        bench_gather()
+        bench_gather(w=8)
+        bench_scatter_add()

@@ -19,7 +19,8 @@ import functools
 import jax
 from jax import lax
 
-from dprast.ops import core, pallas_splat, splat_matmul, splat_tiled
+from dprast.ops import (core, pallas_splat, splat_binned, splat_matmul,
+                        splat_tiled)
 
 _REGISTRY = {}
 
@@ -46,6 +47,8 @@ register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          pallas_splat.supported)
 register("tiled", splat_tiled.raster_fwd, splat_tiled.raster_pullback,
          splat_tiled.supported)
+register("binned", splat_binned.raster_fwd, splat_binned.raster_pullback,
+         splat_binned.supported)
 
 
 def available_backends() -> tuple[str, ...]:

@@ -1,0 +1,757 @@
+"""Slot-scheduled Pallas backend: tile-binned splat for ANY tile-aligned
+2D/3D grid, including the single-tile (<=128^2) flagship case.
+
+This is the second-generation TPU design (replacing `splat_tiled`'s
+run-loop kernels, which Mosaic could not compile at scale).  The reference
+solves the same problem with global-memory atomics
+(`src/raster.jl:64`, `ext/DiffPointRasterisationCUDAExt.jl:19-210`); on TPU
+there are no atomics, so conflicts are eliminated structurally:
+
+- **Binning**: points are sorted by the tile containing their reference
+  voxel (ONE candidate per point).  Per-tile segments are padded to whole
+  `chunk` multiples with inert filler rows, giving a static *slot* frame:
+  slot `s` covers rows ``[s*chunk, (s+1)*chunk)`` and belongs to exactly
+  one tile.
+- **Scalar prefetch**: a per-pose ``slot -> tile`` table drives every
+  BlockSpec index map (`pltpu.PrefetchScalarGridSpec`).  The kernels are
+  straight-line: all I/O is pipelined block I/O, no manual DMA, no
+  run-tables — the structural properties that make Mosaic compilation
+  robust and let the pipeline double-buffer automatically.
+- **Forward**: one instance per (pose, slot) accumulates into a VMEM
+  tile extended by a +1-voxel halo (rows +8 / cols +128 for alignment);
+  consecutive slots of the same tile revisit the same output block.
+  Cross-tile straddle lands in the halo and is folded back with dense
+  shifted adds afterwards — the scatter-free replacement for atomics.
+- **Backward**: pure gather.  Each instance reads its tile's cotangent
+  block plus its 3 (2D) / 7 (3D) halo neighbours, selects per-point
+  stencil values with an exact one-hot matmul, and writes raw per-row
+  gradients ``(du_axis..., gw)``.  All pose-gradient contractions
+  (translation/rotation/weight sums, the Rᵀ rotation of point gradients,
+  the ptidx unsort) happen OUTSIDE the kernel in XLA — the kernel stays
+  minimal, which is both faster and compile-robust.
+- **Precision**: coordinates come from the compensated double-f32
+  pipeline (`geometry.grid_coords_2f`) and are stored tile-local as
+  31-bit fixed point (uniform 2^-23 resolution at any grid size);
+  matmuls use an exact one-hot operand against a 3-term bf16 split of
+  the value operand (error ~2^-24 per product).  Measured end-to-end
+  error vs the f64 oracle: <= ~1e-6 — an order of magnitude under the
+  1e-5 reference-parity target.
+
+Reference semantics: `src/raster.jl:85-108` (splat), `src/raster_pullback.jl`
+(the six analytic gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dprast.ops import geometry
+from dprast.ops.core import PullbackResult
+
+TILE = 128
+_SPLIT_TERMS = 3      # bf16 split terms: 3 => exact to f32 rounding
+
+
+def tile_shape_for(grid_size):
+    """Per-axis tile shape.  2D: up to 128x128 (a small grid is a single
+    tile).  3D: a (tz, ty) plane tile of at most 128 flattened rows times a
+    lane tile of x."""
+    if len(grid_size) == 2:
+        gy, gx = grid_size
+        return (min(gy, TILE), min(gx, TILE))
+    gz, gy, gx = grid_size
+    tz = 8 if gz % 8 == 0 else gz
+    ty = min(max(1, 128 // max(tz, 1)), gy)
+    while gy % ty:
+        ty -= 1
+    tx = min(gx, 1024)
+    while gx % tx:
+        tx -= 128 if tx > 128 else 1
+    return (tz, ty, tx)
+
+
+def n_tiles(grid_size, ts=None):
+    ts = ts or tile_shape_for(grid_size)
+    return math.prod(g // t for g, t in zip(grid_size, ts))
+
+
+def supported(n_out: int, grid_size=None, n_points=None) -> bool:
+    """Tile-aligned 2D/3D grids.  With `n_points` given, also requires the
+    slot frame's padding not to dwarf the real work (very sparse volumes
+    like 10^5 points into 1024^3 stay on the scatter oracle)."""
+    if n_out not in (2, 3):
+        return False
+    if grid_size is None:
+        return True
+    ts = tile_shape_for(grid_size)
+    if any(g % t for g, t in zip(grid_size, ts)):
+        return False
+    if n_out == 2:
+        # multi-tile 2D needs 128-aligned axes for the halo block windows;
+        # a single tile (both axes <= 128) needs no halo at all
+        single = grid_size[0] <= TILE and grid_size[1] <= TILE
+        if not single and any(g % 128 for g in grid_size):
+            return False
+    else:
+        if ts[0] * ts[1] > 128:
+            return False
+        # the x halo window is a 128-lane block
+        if grid_size[2] < 128 or grid_size[2] % 128:
+            return False
+    nt = n_tiles(grid_size, ts)
+    if nt > 4096:
+        return False
+    if n_points is not None and nt * 128 > 8 * max(n_points, 1024):
+        return False
+    return True
+
+
+def _single_tile(grid_size) -> bool:
+    return len(grid_size) == 2 and n_tiles(grid_size) == 1
+
+
+def _interpret_default() -> bool:
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover - defensive
+        return True
+
+
+def _default_chunk(grid_size) -> int:
+    # large chunks amortise per-instance overhead; small ones waste less
+    # padding on many-tile grids.  Measured on v5e.
+    return 1024 if _single_tile(grid_size) else 512
+
+
+# ---------------------------------------------------------------------------
+# binning prep
+# ---------------------------------------------------------------------------
+
+
+_FIX = 23  # fixed-point fraction bits for encoded local coordinates
+
+
+def _keys_and_local(grid_size, ts, points, rotation, translation):
+    """Per (pose, point): flat tile key (sentinel nt if no grid overlap)
+    and one encoded-coordinate plane per axis.
+
+    Coordinates are stored tile-local as 31-bit fixed point,
+    ``enc = (r0_local + 2) << 23 | round(dl * 2^23)`` (bitcast to f32 so
+    all planes stack into one array) — uniform 2^-23 precision regardless
+    of grid size, unlike a raw f32 local coordinate whose ulp at |u|~64
+    is already 7.6e-6.  ``dl == 1`` carries into the integer part, which
+    the kernel-side decode undoes, preserving the reference's
+    ``dl in (0, 1]`` convention exactly.  Invalid (no-overlap) points get
+    ``enc = 0`` — decoded r0 = -3, inert in every kernel because the
+    one-hot never matches.
+    """
+    n = len(grid_size)
+    nts = [g // t for g, t in zip(grid_size, ts)]
+    nt = math.prod(nts)
+    u_hi, u_lo = geometry.grid_coords_2f(points, rotation, translation,
+                                         grid_size)
+    r0, dl = geometry.reference_voxel_and_deltas_2f(u_hi, u_lo)
+    key = jnp.zeros(r0.shape[:2], jnp.int32)
+    overlap = jnp.ones(r0.shape[:2], bool)
+    locs = []
+    for i in range(n):
+        g, t = grid_size[i], ts[i]
+        ri = r0[..., i]
+        overlap &= (ri + 1 >= 0) & (ri <= g - 1)
+        ti = jnp.clip(ri, 0, g - 1) // t
+        key = key * nts[i] + ti
+        r_loc = ri - ti * t                                # in [-1, t-1]
+        enc = ((r_loc + 2) << _FIX) + jnp.round(
+            dl[..., i] * (1 << _FIX)).astype(jnp.int32)
+        enc = jnp.where(overlap, enc, 0)
+        locs.append(lax.bitcast_convert_type(enc, jnp.float32))
+    key = jnp.where(overlap, key, nt)
+    return key, locs, nt
+
+
+def _decode_coord(col):
+    """Kernel-side decode of an encoded coordinate column (C, 1) f32-bits
+    -> (r0_local int32, dl f32) with ``dl in (0, 1]``."""
+    enc = lax.bitcast_convert_type(col, jnp.int32)
+    i_part = enc >> _FIX
+    frac = enc - (i_part << _FIX)
+    zero = frac == 0
+    dl = jnp.where(zero, 1.0,
+                   frac.astype(jnp.float32) * (2.0 ** -_FIX))
+    r0 = i_part - 2 - zero.astype(jnp.int32)
+    return r0, dl
+
+
+def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
+    """Sort `planes` (list of (P,) f32) into the padded slot frame.
+
+    Returns (data (len(planes), s_pad) f32, slot_tile (n_slots,) i32).
+    Filler rows get per-plane `fills` values — callers pass coordinates
+    that never match a one-hot and point ids that sort past every real
+    point.  Runs per pose under vmap.
+    """
+    p = key.shape[0]
+    s_pad = _slot_frame_size(p, nt, chunk)
+    n_slots = s_pad // chunk
+
+    sorted_ops = lax.sort((key,) + tuple(planes), dimension=0, num_keys=1)
+    skey = sorted_ops[0]
+    # segment table incl. the sentinel segment (index nt)
+    iota_t = jnp.arange(nt + 1, dtype=jnp.int32)
+    counts = jnp.sum(skey[None, :] == iota_t[:, None], axis=1,
+                     dtype=jnp.int32)
+    padded = -(-counts[:nt] // chunk) * chunk
+    if min_chunk_per_tile:
+        padded = jnp.maximum(padded, chunk)
+    poffs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(padded).astype(jnp.int32)])
+    seg = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(counts).astype(jnp.int32)])
+    # per-row slot: poffs[key] + rank within segment (sentinel rows go
+    # contiguously after all padded segments).  Lookups are
+    # broadcast-compare reduces — XLA fuses them; gathers would be slow.
+    eq = skey[:, None] == iota_t[None, :]
+    poff_of = jnp.sum(jnp.where(eq, poffs[None, :], 0), axis=1)
+    seg_of = jnp.sum(jnp.where(eq, seg[:-1][None, :], 0), axis=1)
+    rank = jnp.arange(p, dtype=jnp.int32) - seg_of
+    slot = poff_of + rank
+    # filler rows: pad each real segment up to its chunk multiple
+    f_k = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), nt)
+    f_needed = jnp.repeat(padded - counts[:nt], chunk)
+    f_base = jnp.repeat(poffs[:nt] + counts[:nt], chunk)
+    f_slot = jnp.where(f_k < f_needed, f_base + f_k, s_pad + 1)
+    # remaining input rows cover whatever of the static frame is unused
+    n_extra = s_pad - p - nt * chunk
+    all_slots = jnp.concatenate([
+        slot, f_slot,
+        jnp.full((max(n_extra, 0),), s_pad + 2, jnp.int32)])
+    fill_len = all_slots.shape[0] - p
+    cat = [jnp.concatenate([sorted_ops[1 + i],
+                            jnp.full((fill_len,), fills[i], jnp.float32)])
+           for i in range(len(planes))]
+    sorted2 = lax.sort((all_slots,) + tuple(cat), dimension=0, num_keys=1)
+    data = jnp.stack([c[:s_pad] for c in sorted2[1:]], axis=0)
+    # row i of the frame belongs to tile #(count of poffs[t+1] <= i)
+    starts = jnp.arange(n_slots, dtype=jnp.int32) * chunk
+    tile_of = jnp.sum((starts[:, None] >= poffs[None, 1:nt + 1])
+                      .astype(jnp.int32), axis=1)
+    slot_tile = jnp.minimum(tile_of, nt - 1)
+    return data, slot_tile
+
+
+def _slot_frame_size(p, nt, chunk):
+    return -(-p // chunk) * chunk + nt * chunk
+
+
+def _prep_direct(planes, fills, chunk):
+    """Single-tile fast path: no binning, no sorts — rows keep the
+    original point order (so the backward needs no unsort either)."""
+    p = planes[0].shape[0]
+    p_pad = -(-p // chunk) * chunk
+    data = jnp.stack(
+        [jnp.concatenate([pl_, jnp.full((p_pad - p,), fills[i],
+                                        jnp.float32)])
+         for i, pl_ in enumerate(planes)], axis=0)
+    return data, jnp.zeros((p_pad // chunk,), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# shared kernel math
+# ---------------------------------------------------------------------------
+
+
+def _axis_onehot_pair(i0, dl, width, chunk):
+    """(bx, dbx): one-hot-pair factor (C, width) for one lane axis from
+    decoded local coords (C, 1); values off the [0, width) window never
+    match (the OOB-drop semantics, reference `src/raster.jl:62`)."""
+    iota = lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+    lo = iota == i0
+    hi = iota == i0 + 1
+    bx = jnp.where(lo, 1 - dl, 0.0) + jnp.where(hi, dl, 0.0)
+    dbx = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
+    return bx, dbx
+
+
+def _split_matmul(o_bf16, value_f32, terms=_SPLIT_TERMS):
+    """Exact-one-hot contraction: ``o @ value`` with the value operand split
+    into `terms` bf16 planes (3 terms reproduce f32 exactly; the one-hot
+    side is exact in bf16 by construction).  f32 accumulation on the MXU."""
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    rem = value_f32
+    for _ in range(terms):
+        t_i = rem.astype(jnp.bfloat16)
+        part = lax.dot_general(o_bf16, t_i, dims,
+                               preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+        rem = rem - t_i.astype(jnp.float32)
+    return acc
+
+
+def _row_targets_2d(iy0, rows_e, chunk, rows_first):
+    """2D one-hot of the two row targets (r0, r0+1) of each point in the
+    extended tile; OOB rows never match.  `rows_first` picks the matmul
+    orientation: (rows_e, 2C) for the forward scatter, (2C, rows_e) for
+    the backward gather."""
+    rcat = jnp.concatenate([iy0, iy0 + 1], axis=0)        # (2C, 1)
+    if rows_first:
+        iota = lax.broadcasted_iota(jnp.int32, (rows_e, 2 * chunk), 0)
+        o = iota == rcat.reshape(1, -1)
+    else:
+        iota = lax.broadcasted_iota(jnp.int32, (2 * chunk, rows_e), 1)
+        o = iota == rcat
+    return o.astype(jnp.bfloat16)
+
+
+def _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, halo, rows_first):
+    """3D one-hot of the 4 (z, y) stencil rows in the (tz+1, ty+1)-
+    flattened extended tile; invalid combos map to -9 (never match)."""
+    stride = ty + 1 if halo else ty
+    z_hi = tz if halo else tz - 1
+    y_hi = ty if halo else ty - 1
+    idxs = []
+    for sz in (0, 1):
+        for sy in (0, 1):
+            z = iz0 + sz
+            y = iy0 + sy
+            ok = (z >= 0) & (z <= z_hi) & (y >= 0) & (y <= y_hi)
+            idxs.append(jnp.where(ok, z * stride + y, -9))
+    rcat = jnp.concatenate(idxs, axis=0)                  # (4C, 1)
+    if rows_first:
+        iota = lax.broadcasted_iota(jnp.int32, (rows_e, 4 * chunk), 0)
+        o = iota == rcat.reshape(1, -1)
+    else:
+        iota = lax.broadcasted_iota(jnp.int32, (4 * chunk, rows_e), 1)
+        o = iota == rcat
+    return o.astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(st_ref, data_ref, ext_ref, *, ts, chunk, halo, n_out):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t_cur = st_ref[b, s]
+    t_prev = st_ref[b, jnp.maximum(s - 1, 0)]
+    first = jnp.logical_or(s == 0, t_cur != t_prev)
+
+    cols = data_ref[0].T                                  # (C, planes)
+    tx = ts[-1]
+    cols_e = tx + (128 if halo else 0)
+    if n_out == 2:
+        ty = ts[0]
+        rows_e = ty + (8 if halo else 0)
+        iy0, dly = _decode_coord(cols[:, 0:1])
+        o_rows = _row_targets_2d(iy0, rows_e, chunk, rows_first=True)
+        w = cols[:, 2:3]
+        ax_coeffs = [(1 - dly) * w, dly * w]
+    else:
+        tz, ty = ts[0], ts[1]
+        rows_e = (tz + 1) * (ty + 1) if halo else tz * ty
+        iz0, dlz = _decode_coord(cols[:, 0:1])
+        iy0, dly = _decode_coord(cols[:, 1:2])
+        o_rows = _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, halo,
+                                 rows_first=True)
+        w = cols[:, 3:4]
+        ax_coeffs = [(1 - dlz) * (1 - dly) * w, (1 - dlz) * dly * w,
+                     dlz * (1 - dly) * w, dlz * dly * w]
+    ix0, dlx = _decode_coord(cols[:, n_out - 1:n_out])
+    bx, _ = _axis_onehot_pair(ix0, dlx, cols_e, chunk)
+    b_stack = jnp.concatenate([c * bx for c in ax_coeffs], axis=0)
+    acc = _split_matmul(o_rows, b_stack)                  # (rows_e, cols_e)
+
+    @pl.when(first)
+    def _():
+        ext_ref[0, 0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ext_ref[0, 0] = ext_ref[0, 0] + acc
+
+
+def _fold(ext, grid_size, ts, halo):
+    """Fold halo contributions into the dense output grid with shifted
+    adds (the scatter-free completion of the forward).  ext:
+    (B, nt, rows_e, cols_e) -> (B, *grid_size)."""
+    n = len(grid_size)
+    b = ext.shape[0]
+    nts = [g // t for g, t in zip(grid_size, ts)]
+    if not halo:
+        return ext.reshape((b,) + tuple(grid_size))
+    if n == 2:
+        sub = (ts[0] + 1, ts[1] + 128)
+        ext = ext[:, :, :ts[0] + 1, :]                   # drop align rows
+    else:
+        sub = (ts[0] + 1, ts[1] + 1, ts[2] + 128)
+    ext = ext.reshape((b,) + tuple(nts) + sub)
+    out = jnp.zeros((b,) + tuple(grid_size), ext.dtype)
+    for mask in range(2 ** n):
+        d = [(mask >> (n - 1 - i)) & 1 for i in range(n)]
+        piece = ext
+        # subtile slices: own body or the +1/+128 halo sliver per axis
+        for i in range(n):
+            ax = 1 + n + i
+            width = 128 if i == n - 1 else 1
+            sl = (slice(ts[i], ts[i] + width) if d[i]
+                  else slice(0, ts[i]))
+            piece = lax.slice_in_dim(piece, sl.start, sl.stop, axis=ax)
+            if d[i]:
+                # halo targets the NEXT tile: drop the edge tile (its halo
+                # is out of grid => reference drop semantics) and shift
+                piece = lax.slice_in_dim(piece, 0, nts[i] - 1, axis=1 + i)
+                pad = [(0, 0)] * piece.ndim
+                pad[1 + i] = (1, 0)
+                pad[ax] = (0, ts[i] - width)
+                piece = jnp.pad(piece, pad)
+        # interleave (tile, subtile) axes and flatten to the dense grid
+        perm = [0]
+        for i in range(n):
+            perm += [1 + i, 1 + n + i]
+        piece = piece.transpose(perm).reshape(
+            (b,) + tuple(grid_size))
+        out = out + piece
+    return out
+
+
+def raster_fwd(grid_size, points, rotation, translation, background,
+               out_weight, point_weight, *, chunk: int | None = None,
+               interpret: bool | None = None):
+    """Forward rasterisation -> (B, *grid_size)."""
+    n_out = len(grid_size)
+    assert supported(n_out, grid_size), \
+        f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = _default_chunk(grid_size)
+    ts = tile_shape_for(grid_size)
+    nt = n_tiles(grid_size, ts)
+    halo = not _single_tile(grid_size)
+    bsz = rotation.shape[0]
+    p = points.shape[0]
+    f32 = jnp.float32
+
+    key, locs, _ = _keys_and_local(grid_size, ts, points, rotation,
+                                   translation)
+    w = (point_weight.astype(f32)[None, :]
+         * out_weight.astype(f32)[:, None])               # (B, P)
+    fills = [0.0] * n_out + [0.0]                  # enc 0 = inert; w = 0
+    if halo:
+        data, slot_tile = jax.vmap(
+            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
+                                         True)
+        )(key, *locs, w)
+    else:
+        data, slot_tile = jax.vmap(
+            lambda *pls: _prep_direct(list(pls), fills, chunk)
+        )(*locs, w)
+
+    s_pad = data.shape[-1]
+    n_slots = s_pad // chunk
+    if n_out == 2:
+        rows_e = ts[0] + (8 if halo else 0)
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1) if halo else ts[0] * ts[1]
+    cols_e = ts[-1] + (128 if halo else 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_slots),
+        in_specs=[
+            pl.BlockSpec((1, len(locs) + 1, chunk),
+                         lambda b, s, st: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_e, cols_e),
+            lambda b, s, st: (b, st[b, s], 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    ext = pl.pallas_call(
+        functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
+                          n_out=n_out),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, nt, rows_e, cols_e), f32),
+        interpret=interpret,
+    )(slot_tile, data)
+
+    out = _fold(ext, grid_size, ts, halo)
+    out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
+    dtype = jnp.result_type(points, rotation, translation)
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(st_ref, data_ref, *refs, ts, chunk, halo, n_out, nts):
+    if halo:
+        g_refs = refs[:2 ** n_out]
+        buf_ref = refs[2 ** n_out]
+    else:
+        g_refs = refs[:1]
+        buf_ref = refs[1]
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t = st_ref[b, s]
+    f32 = jnp.float32
+    tx = ts[-1]
+    cols_e = tx + (128 if halo else 0)
+
+    # assemble the extended cotangent block; clamped duplicate neighbours
+    # at the grid edge are zeroed by validity (== reference OOB drop)
+    if n_out == 2:
+        ty = ts[0]
+        rows_e = ty + (8 if halo else 0)
+        if halo:
+            tiy = t // nts[1]
+            tix = t % nts[1]
+            vy = (tiy + 1 < nts[0]).astype(f32)
+            vx = (tix + 1 < nts[1]).astype(f32)
+            top = jnp.concatenate([g_refs[0][0], g_refs[1][0] * vx], axis=1)
+            bot = jnp.concatenate([g_refs[2][0] * vy,
+                                   g_refs[3][0] * (vy * vx)], axis=1)
+            g = jnp.concatenate([top, bot], axis=0)       # (ty+8, tx+128)
+        else:
+            g = g_refs[0][0]
+    else:
+        tz, ty = ts[0], ts[1]
+        rows_e = (tz + 1) * (ty + 1)
+        ntz, nty, ntx = nts
+        tiz = t // (nty * ntx)
+        tiy = (t // ntx) % nty
+        tix = t % ntx
+        vz = (tiz + 1 < ntz).astype(f32)
+        vy = (tiy + 1 < nty).astype(f32)
+        vx = (tix + 1 < ntx).astype(f32)
+        # 8 blocks -> (tz+1, ty+1, tx+128), then flatten (z, y) rows
+        own = jnp.concatenate([g_refs[0][0], g_refs[1][0] * vx], axis=2)
+        yp = jnp.concatenate([g_refs[2][0] * vy,
+                              g_refs[3][0] * (vy * vx)], axis=2)
+        body = jnp.concatenate([own, yp], axis=1)         # (tz, ty+1, :)
+        zo = jnp.concatenate([g_refs[4][0] * vz,
+                              g_refs[5][0] * (vz * vx)], axis=2)
+        zy = jnp.concatenate([g_refs[6][0] * (vz * vy),
+                              g_refs[7][0] * (vz * vy * vx)], axis=2)
+        zcap = jnp.concatenate([zo, zy], axis=1)          # (1, ty+1, :)
+        g = jnp.concatenate([body, zcap], axis=0).reshape(rows_e, cols_e)
+
+    cols = data_ref[0].T                                  # (C, n_out)
+    if n_out == 2:
+        iy0, dly = _decode_coord(cols[:, 0:1])
+        o_rows = _row_targets_2d(iy0, rows_e, chunk, rows_first=False)
+        res = _split_matmul(o_rows, g)                    # (2C, cols_e)
+        p0, p1 = res[:chunk], res[chunk:]
+        v1 = (1 - dly) * p0 + dly * p1
+        dus_pre = [p1 - p0]                               # d/du_y
+    else:
+        iz0, dlz = _decode_coord(cols[:, 0:1])
+        iy0, dly = _decode_coord(cols[:, 1:2])
+        o_rows = _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, True,
+                                 rows_first=False)
+        res = _split_matmul(o_rows, g)                    # (4C, cols_e)
+        p00, p01 = res[:chunk], res[chunk:2 * chunk]
+        p10, p11 = res[2 * chunk:3 * chunk], res[3 * chunk:]
+        y0 = (1 - dly) * p00 + dly * p01
+        y1 = (1 - dly) * p10 + dly * p11
+        v1 = (1 - dlz) * y0 + dlz * y1
+        dus_pre = [y1 - y0,                               # d/du_z
+                   (1 - dlz) * (p01 - p00) + dlz * (p11 - p10)]  # d/du_y
+    ix0, dlx = _decode_coord(cols[:, n_out - 1:n_out])
+    bx, dbx = _axis_onehot_pair(ix0, dlx, cols_e, chunk)
+    gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
+    dus = [jnp.sum(dpre * bx, axis=1, keepdims=True) for dpre in dus_pre]
+    dus.append(jnp.sum(v1 * dbx, axis=1, keepdims=True))  # d/du_x
+    out = jnp.concatenate(dus + [gw], axis=1)             # (C, n_out+1)
+    buf_ref[0] = out.T
+
+
+def raster_pullback(grid_size, points, rotation, translation, background,
+                    out_weight, point_weight, ds_dout, *,
+                    chunk: int | None = None,
+                    interpret: bool | None = None) -> PullbackResult:
+    """Analytic pullback -> PullbackResult (all six gradients)."""
+    n_out = len(grid_size)
+    assert supported(n_out, grid_size), \
+        f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = _default_chunk(grid_size)
+    ts = tile_shape_for(grid_size)
+    nt = n_tiles(grid_size, ts)
+    nts = tuple(g // t for g, t in zip(grid_size, ts))
+    halo = not _single_tile(grid_size)
+    bsz = rotation.shape[0]
+    p, n_in = points.shape
+    f32 = jnp.float32
+    g_cot = ds_dout.astype(f32)
+
+    key, locs, _ = _keys_and_local(grid_size, ts, points, rotation,
+                                   translation)
+    pw_b = jnp.broadcast_to(point_weight.astype(f32)[None, :], key.shape)
+    ptidx = jnp.broadcast_to(
+        jnp.arange(p, dtype=f32)[None, :], key.shape)
+    pts_b = [jnp.broadcast_to(points.astype(f32)[None, :, i], key.shape)
+             for i in range(n_in)]
+    aux_planes = [pw_b, ptidx] + pts_b
+    # fills: enc 0 = inert coords; pw 0; ptidx p (sorts past every real
+    # point); pts 0
+    fills = [0.0] * n_out + [0.0, float(p)] + [0.0] * n_in
+    if halo:
+        data, slot_tile = jax.vmap(
+            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
+                                         False)
+        )(key, *locs, *aux_planes)
+    else:
+        data, slot_tile = jax.vmap(
+            lambda *pls: _prep_direct(list(pls), fills, chunk)
+        )(*locs, *aux_planes)
+    coord = data[:, :n_out]                               # kernel input
+    aux = data[:, n_out:]                                 # [pw, ptidx, pts]
+    s_pad = data.shape[-1]
+    n_slots = s_pad // chunk
+
+    if n_out == 2:
+        rows_e = ts[0] + (8 if halo else 0)
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+    cols_e = ts[-1] + (128 if halo else 0)
+
+    # cotangent neighbour blocks: own body + halo slivers (8-row / 128-col
+    # aligned), clamped at the grid edge — the kernel zeroes the clamped
+    # duplicates via validity, reproducing the reference OOB drop.  Index
+    # units differ per spec: each axis index is in units of that spec's own
+    # block extent.
+    g_specs = []
+    if halo and n_out == 2:
+        ty, tx = ts
+        nty, ntx = nts
+
+        def mk2(dy, dx):
+            shape = (1, 8 if dy else ty, 128 if dx else tx)
+
+            def imap(b, s, st, dy=dy, dx=dx):
+                t = st[b, s]
+                tiy = t // ntx
+                tix = t % ntx
+                iy = (jnp.minimum((tiy + 1) * (ty // 8),
+                                  grid_size[0] // 8 - 1) if dy else tiy)
+                ix = (jnp.minimum((tix + 1) * (tx // 128),
+                                  grid_size[1] // 128 - 1) if dx else tix)
+                return (b, iy, ix)
+
+            return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+        g_specs = [mk2(dy, dx) for dy in (0, 1) for dx in (0, 1)]
+        g_inputs = [g_cot] * 4
+    elif halo:
+        tz, ty, tx = ts
+        ntz, nty, ntx = nts
+
+        def mk3(dz, dy, dx):
+            shape = (1, 1 if dz else tz, 1 if dy else ty,
+                     128 if dx else tx)
+
+            def imap(b, s, st, dz=dz, dy=dy, dx=dx):
+                t = st[b, s]
+                tiz = t // (nty * ntx)
+                tiy = (t // ntx) % nty
+                tix = t % ntx
+                # per-axis index in units of this spec's block extent
+                iz = (jnp.minimum((tiz + 1) * tz, grid_size[0] - 1)
+                      if dz else tiz)
+                iy = (jnp.minimum((tiy + 1) * ty, grid_size[1] - 1)
+                      if dy else tiy)
+                ix = (jnp.minimum((tix + 1) * (tx // 128),
+                                  grid_size[2] // 128 - 1)
+                      if dx else tix)
+                return (b, iz, iy, ix)
+
+            return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+        g_specs = [mk3(dz, dy, dx) for dz in (0, 1) for dy in (0, 1)
+                   for dx in (0, 1)]
+        g_inputs = [g_cot] * 8
+    else:
+        g_specs = [pl.BlockSpec((1,) + tuple(ts),
+                                lambda b, s, st: (b, 0, 0),
+                                memory_space=pltpu.VMEM)]
+        g_inputs = [g_cot]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_slots),
+        in_specs=[
+            pl.BlockSpec((1, n_out, chunk), lambda b, s, st: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ] + g_specs,
+        out_specs=pl.BlockSpec((1, n_out + 1, chunk),
+                               lambda b, s, st: (b, 0, s),
+                               memory_space=pltpu.VMEM),
+    )
+    buf = pl.pallas_call(
+        functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
+                          n_out=n_out, nts=nts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_out + 1, s_pad), f32),
+        interpret=interpret,
+    )(slot_tile, coord, *g_inputs)
+
+    # ---- everything below is plain XLA on the raw per-row gradients ----
+    pw_rows = aux[:, 0]                                   # (B, s_pad)
+    scale = jnp.asarray(grid_size, f32) / 2
+    ow = out_weight.astype(f32)
+    # scaled_i = du_i * (g_i/2) * ow * pw   (B, n_out, s_pad)
+    scaled = (buf[:, :n_out] * scale[None, :, None]
+              * (ow[:, None, None] * pw_rows[:, None, :]))
+    gw_rows = buf[:, n_out]                               # (B, s_pad)
+
+    d_t = jnp.sum(scaled, axis=-1)                        # (B, n_out)
+    pts_rows = aux[:, 2:2 + n_in]                         # (B, n_in, s_pad)
+    d_r = jnp.einsum("bns,bis->bni", scaled, pts_rows,
+                     precision=lax.Precision.HIGHEST)
+    d_ow = jnp.einsum("bs,bs->b", gw_rows, pw_rows,
+                      precision=lax.Precision.HIGHEST)
+    d_bg = jnp.sum(g_cot.reshape(bsz, -1), axis=-1)
+
+    # per-point rows: unsort by point id (the single sort is the TPU's
+    # fast permutation; the direct path needs none)
+    if halo:
+        idx_rows = aux[:, 1]
+
+        def unsort(idx, sc, gwr):
+            ops = lax.sort((idx,) + tuple(sc[i] for i in range(n_out))
+                           + (gwr,), dimension=0, num_keys=1)
+            return jnp.stack(ops[1:1 + n_out], 0)[:, :p], ops[-1][:p]
+
+        sc_rows, gw_pt = jax.vmap(unsort)(idx_rows, scaled, gw_rows)
+    else:
+        sc_rows, gw_pt = scaled[..., :p], gw_rows[..., :p]
+    d_points = jnp.einsum("bns,bni->si", sc_rows,
+                          rotation.astype(f32),
+                          precision=lax.Precision.HIGHEST)  # (P, n_in)
+    d_pw = jnp.einsum("bs,b->s", gw_pt, ow,
+                      precision=lax.Precision.HIGHEST)
+
+    dtype = jnp.result_type(points, rotation, ds_dout)
+    return PullbackResult(
+        points=d_points.astype(dtype),
+        rotation=d_r.astype(dtype),
+        translation=d_t.astype(dtype),
+        background=d_bg.astype(dtype),
+        out_weight=d_ow.astype(dtype),
+        point_weight=d_pw.astype(dtype),
+    )

@@ -1,0 +1,103 @@
+"""Slot-scheduled binned backend vs the independent float64 numpy oracle,
+through the Pallas interpreter on CPU.  Covers the single-tile direct path
+(no sorts), the multi-tile halo path (tile straddle, edge drops, empty
+tiles, uneven segments), and 3D volumes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dprast
+from dprast.ops import dispatch, splat_binned
+from dprast.utils.testing import (fixtures, raster_numpy,
+                                  raster_pullback_numpy)
+
+
+def _check(fx, grid, chunk=128, seed=7, tol=2e-6):
+    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
+    np_args = [np.asarray(a) for a in args]
+    out_b = splat_binned.raster_fwd(grid, *args, chunk=chunk)
+    out_ref = raster_numpy(grid, *np_args)
+    scale = max(float(np.max(np.abs(out_ref))), 1.0)
+    np.testing.assert_allclose(np.asarray(out_b, np.float64) / scale,
+                               out_ref / scale, atol=tol)
+    g = jnp.asarray(np.random.default_rng(seed).standard_normal(
+        out_ref.shape), jnp.float32)
+    pb_b = splat_binned.raster_pullback(grid, *args, g, chunk=chunk)
+    pb_ref = raster_pullback_numpy(grid, *np_args, np.asarray(g))
+    for name in pb_b._fields:
+        ref = pb_ref[name]
+        sc = max(float(np.max(np.abs(ref))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(getattr(pb_b, name), np.float64) / sc, ref / sc,
+            atol=tol, err_msg=f"grad {name}")
+
+
+def test_single_tile_direct():
+    fx = fixtures(seed=3, n_points=300, batch_size=3, n_in=3, n_out=2)
+    _check(fx, (128, 128))
+
+
+def test_multi_tile_2d():
+    fx = fixtures(seed=4, n_points=400, batch_size=3, n_in=3, n_out=2)
+    _check(fx, (256, 256))
+
+
+def test_multi_tile_2d_wide():
+    fx = fixtures(seed=5, n_points=350, batch_size=2, n_in=2, n_out=2)
+    _check(fx, (128, 512))
+
+
+def test_volume_3d():
+    fx = fixtures(seed=6, n_points=200, batch_size=2, n_in=3, n_out=3)
+    _check(fx, (128, 128, 128))
+
+
+def test_sparse_cloud_many_empty_tiles():
+    # a tight cluster: most tiles empty (exercises the min-chunk fwd
+    # guarantee that writes zeros into never-visited output blocks)
+    rng = np.random.default_rng(8)
+    pts = jnp.asarray(rng.standard_normal((50, 2)) * 0.02 + 0.5,
+                      jnp.float32)
+    rot = jnp.asarray(np.tile(np.eye(2, dtype=np.float32), (2, 1, 1)))
+    tr = jnp.asarray(rng.standard_normal((2, 2)) * 0.01, jnp.float32)
+    fx = dict(points=pts, rotation=rot, translation=tr,
+              background=jnp.zeros(2), out_weight=jnp.ones(2),
+              point_weight=jnp.ones(50))
+    _check(fx, (512, 512))
+
+
+def test_points_outside_grid():
+    rng = np.random.default_rng(9)
+    pts = jnp.asarray(rng.standard_normal((100, 2)) * 3.0, jnp.float32)
+    rot = jnp.asarray(np.tile(np.eye(2, dtype=np.float32), (2, 1, 1)))
+    tr = jnp.zeros((2, 2), jnp.float32)
+    fx = dict(points=pts, rotation=rot, translation=tr,
+              background=jnp.zeros(2), out_weight=jnp.ones(2),
+              point_weight=jnp.ones(100))
+    _check(fx, (256, 256))
+
+
+def test_supported_rules():
+    assert splat_binned.supported(2, (128, 128))
+    assert splat_binned.supported(2, (1024, 1024))
+    assert splat_binned.supported(3, (128, 128, 128))
+    assert not splat_binned.supported(2, (200, 200))      # not tileable
+    assert not splat_binned.supported(2, (256, 64))       # halo needs 128
+    assert not splat_binned.supported(3, (64, 64, 64))    # x halo needs 128
+    assert not splat_binned.supported(3, (130, 128, 128))
+    # sparse-volume guard: 1024^3 with 1e5 points stays off this backend
+    assert not splat_binned.supported(3, (1024, 1024, 1024), 100_000)
+    assert "binned" in dispatch.available_backends()
+
+
+def test_golden_through_api():
+    # README quick-start values through the public API with the binned
+    # backend (the exactness contract: dl == 1 at voxel centers)
+    points = jnp.array([[0.0, 0.0], [0.2, 0.2], [-0.4, 0.0],
+                        [0.0, 0.4], [0.4, -0.4]])
+    img = dprast.raster((128, 128), points, jnp.eye(2), jnp.zeros(2),
+                        backend="binned")
+    ref = dprast.raster((128, 128), points, jnp.eye(2), jnp.zeros(2),
+                        backend="xla")
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
