@@ -42,7 +42,7 @@ def main():
     args = (points, rotation, translation, background, out_weight,
             point_weight)
 
-    backend = dispatch.resolve("auto", len(grid), grid)
+    backend = dispatch.resolve("auto", len(grid), grid, n_points)
     ds_dout = jnp.asarray(
         rng.standard_normal((batch,) + grid), jnp.float32)
 

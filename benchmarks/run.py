@@ -80,7 +80,7 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
 
     from dprast.ops import dispatch
 
-    backend = dispatch.resolve("auto", len(grid), grid)
+    backend = dispatch.resolve("auto", len(grid), grid, n_points)
     args = _args_for(n_points, batch, grid, n_in)
     g = jax.random.normal(jax.random.PRNGKey(7), (batch,) + tuple(grid),
                           jnp.float32)

@@ -102,8 +102,10 @@ def supported(n_out: int, grid_size=None, n_points=None) -> bool:
     else:
         if ts[0] * ts[1] > 128:
             return False
-        # the x halo window is a 128-lane block
+        # halo windows: x is a 128-lane block, y an 8-row block
         if grid_size[2] < 128 or grid_size[2] % 128:
+            return False
+        if ts[1] % 8:
             return False
     nt = n_tiles(grid_size, ts)
     if nt > 4096:
@@ -538,13 +540,15 @@ def _bwd_kernel(st_ref, data_ref, *refs, ts, chunk, halo, n_out, nts):
         vx = (tix + 1 < ntx).astype(f32)
         # 8 blocks -> (tz+1, ty+1, tx+128), then flatten (z, y) rows
         own = jnp.concatenate([g_refs[0][0], g_refs[1][0] * vx], axis=2)
-        yp = jnp.concatenate([g_refs[2][0] * vy,
-                              g_refs[3][0] * (vy * vx)], axis=2)
+        # y-halo blocks carry 8 rows for tiling legality; row 0 is the halo
+        yp = jnp.concatenate([g_refs[2][0][:, 0:1] * vy,
+                              g_refs[3][0][:, 0:1] * (vy * vx)], axis=2)
         body = jnp.concatenate([own, yp], axis=1)         # (tz, ty+1, :)
         zo = jnp.concatenate([g_refs[4][0] * vz,
                               g_refs[5][0] * (vz * vx)], axis=2)
-        zy = jnp.concatenate([g_refs[6][0] * (vz * vy),
-                              g_refs[7][0] * (vz * vy * vx)], axis=2)
+        zy = jnp.concatenate([g_refs[6][0][:, 0:1] * (vz * vy),
+                              g_refs[7][0][:, 0:1] * (vz * vy * vx)],
+                             axis=2)
         zcap = jnp.concatenate([zo, zy], axis=1)          # (1, ty+1, :)
         g = jnp.concatenate([body, zcap], axis=0).reshape(rows_e, cols_e)
 
@@ -662,7 +666,9 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         ntz, nty, ntx = nts
 
         def mk3(dz, dy, dx):
-            shape = (1, 1 if dz else tz, 1 if dy else ty,
+            # TPU blocks need the second-minor extent divisible by 8: the
+            # y-halo slivers read 8 rows (kernel uses row 0 only)
+            shape = (1, 1 if dz else tz, 8 if dy else ty,
                      128 if dx else tx)
 
             def imap(b, s, st, dz=dz, dy=dy, dx=dx):
@@ -673,7 +679,8 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                 # per-axis index in units of this spec's block extent
                 iz = (jnp.minimum((tiz + 1) * tz, grid_size[0] - 1)
                       if dz else tiz)
-                iy = (jnp.minimum((tiy + 1) * ty, grid_size[1] - 1)
+                iy = (jnp.minimum((tiy + 1) * (ty // 8),
+                                  grid_size[1] // 8 - 1)
                       if dy else tiy)
                 ix = (jnp.minimum((tix + 1) * (tx // 128),
                                   grid_size[2] // 128 - 1)

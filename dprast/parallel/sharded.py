@@ -75,20 +75,27 @@ def shard_raster_args(mesh: Mesh, points, rotation, translation, background,
                       out_weight, point_weight):
     """Pad canonical batched args to shardable sizes and place them on the
     mesh with the module-level layout.  Padded points get weight 0 (their
-    splats are dropped by the zero weight, not by masking); the pose batch
-    must divide evenly (pad poses yourself if needed).
+    splats are dropped by the zero weight, not by masking); padded poses
+    get out_weight 0 and background 0 (all-zero images the caller slices
+    away).
 
-    Returns (placed 6-tuple, original n_points).
+    Returns (placed 6-tuple, original n_points, original batch).
     """
     np_shards = mesh.shape[POINTS_AXIS]
     nb_shards = mesh.shape[POSES_AXIS]
     p = points.shape[0]
-    if rotation.shape[0] % nb_shards:
-        raise ValueError(
-            f"pose batch {rotation.shape[0]} not divisible by the "
-            f"{POSES_AXIS!r} mesh axis ({nb_shards})")
+    b = rotation.shape[0]
     points = _pad_to_multiple(points, np_shards)
     point_weight = _pad_to_multiple(point_weight, np_shards)
+    # uneven pose batches: pad with inert poses (out_weight 0 — their
+    # splats vanish; background 0 — their images are all-zero) and let the
+    # caller slice the output back to `b`.  Mirrors the reference's
+    # any-batch-vs-any-worker-count chunking contract (`test/data.jl:5-11`
+    # keeps the fixture batch coprime to nthreads on purpose).
+    rotation = _pad_to_multiple(rotation, nb_shards)
+    translation = _pad_to_multiple(translation, nb_shards)
+    background = _pad_to_multiple(background, nb_shards)
+    out_weight = _pad_to_multiple(out_weight, nb_shards)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -101,7 +108,7 @@ def shard_raster_args(mesh: Mesh, points, rotation, translation, background,
         put(out_weight, P(POSES_AXIS)),
         put(point_weight, P(POINTS_AXIS)),
     )
-    return placed, p
+    return placed, p, b
 
 
 def raster_sharded(grid_size, points, rotation, translation, background=None,
@@ -121,9 +128,11 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
         point_weight, dtype)
     if not batched:
         raise ValueError("raster_sharded requires batched poses")
-    args, n_points = shard_raster_args(mesh, *args)
-    resolved = dispatch.resolve(backend, len(grid_size), grid_size)
-    return _raster_shard_map(grid_size, resolved, mesh, *args)
+    args, n_points, b = shard_raster_args(mesh, *args)
+    resolved = dispatch.resolve(backend, len(grid_size), grid_size,
+                                n_points)
+    out = _raster_shard_map(grid_size, resolved, mesh, *args)
+    return out if out.shape[0] == b else out[:b]
 
 
 def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,

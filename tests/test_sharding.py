@@ -64,7 +64,37 @@ def test_grads_match_single_device(mesh_shape):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(3, 3)
+    # 7 poses on an 8-wide poses axis: padded with inert poses, not an error
     mesh = make_mesh(8, 1)
-    fx = _args(batch=7)  # 7 poses not divisible by 8
-    with pytest.raises(ValueError):
-        raster_sharded(GRID2, **fx, mesh=mesh)
+    fx = _args(batch=7)
+    out = raster_sharded(GRID2, **fx, mesh=mesh)
+    ref = dprast.raster(GRID2, **fx)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-9)
+
+
+def test_uneven_pose_batch():
+    """Batch coprime to the poses axis must match single-device — the
+    reference's coprime chunking contract (`test/data.jl:5-11`)."""
+    mesh = make_mesh(2, 4)
+    fx = fixtures(seed=11, n_points=29, batch_size=7, n_in=3, n_out=2)
+    args = {k: jnp.asarray(v) for k, v in fx.items()}
+    out = raster_sharded(GRID2, **args, mesh=mesh)
+    ref = dprast.raster(GRID2, **args)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-9)
+
+    def loss_sh(pts, rot, tr):
+        a = dict(args, points=pts, rotation=rot, translation=tr)
+        return jnp.sum(raster_sharded(GRID2, **a, mesh=mesh) ** 2)
+
+    def loss_1(pts, rot, tr):
+        a = dict(args, points=pts, rotation=rot, translation=tr)
+        return jnp.sum(dprast.raster(GRID2, **a) ** 2)
+
+    g_sh = jax.grad(loss_sh, argnums=(0, 1, 2))(
+        args["points"], args["rotation"], args["translation"])
+    g_1 = jax.grad(loss_1, argnums=(0, 1, 2))(
+        args["points"], args["rotation"], args["translation"])
+    for a, b in zip(g_sh, g_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
