@@ -56,21 +56,29 @@ def _args_for(n_points, batch, grid, n_in):
     return pts, rot, tr, bg, ow, pw
 
 
-def _per_iter(f_jit, k1=2, k2=8):
+def _per_iter(step, k1=2, k2=6):
+    """Per-iteration time of `step(c) -> c'` via K data-dependent chained
+    iterations inside ONE jit (fori_loop), linear-fitted over two K values
+    to cancel dispatch+fetch constants."""
+    import jax
     import jax.numpy as jnp
-
-    float(f_jit(jnp.float32(0)))  # compile + warm
+    from jax import lax
 
     def chained(k):
-        c = jnp.float32(0)
-        t0 = time.perf_counter()
-        for _ in range(k):
-            c = f_jit(c)
-        float(c)
-        return time.perf_counter() - t0
+        @jax.jit
+        def run(c0):
+            return lax.fori_loop(0, k, lambda i, c: step(c), c0)
 
-    b1 = min(chained(k1) for _ in range(2))
-    b2 = min(chained(k2) for _ in range(2))
+        float(run(jnp.float32(0)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(jnp.float32(0)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    b1 = chained(k1)
+    b2 = chained(k2)
     return max((b2 - b1) / (k2 - k1), 1e-9)
 
 
@@ -86,10 +94,10 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
                           jnp.float32)
 
     pts, rot, tr, bg, ow, pw = args
-    fwd = jax.jit(lambda c: dispatch.fwd_fn(backend)(
-        grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0])
-    bwd = jax.jit(lambda c: dispatch.bwd_fn(backend)(
-        grid, pts, rot, tr + c * 1e-30, bg, ow, pw, g).translation.ravel()[0])
+    fwd = lambda c: dispatch.fwd_fn(backend)(
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0]
+    bwd = lambda c: dispatch.bwd_fn(backend)(
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw, g).translation.ravel()[0]
     rec = {"config": name, "backend": backend}
     splats = n_points * batch * 2 ** len(grid)
     # report partially: a compile failure in one direction (e.g. the dev
@@ -119,6 +127,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--out", default=None,
+                    help="also append result rows to this JSON-lines file")
     args = ap.parse_args()
     want = set(args.configs.split(",")) if args.configs else None
     rows = []
@@ -128,8 +138,14 @@ def main():
         try:
             rows.append(run_config(*cfg))
         except Exception as e:  # keep going; report the failure
-            print(json.dumps({"config": cfg[0], "error": str(e)[:200]}),
-                  flush=True)
+            rows.append({"config": cfg[0], "error": str(e)[:200]})
+            print(json.dumps(rows[-1]), flush=True)
+    if args.out:
+        import datetime
+        with open(args.out, "a") as f:
+            for r in rows:
+                f.write(json.dumps(dict(
+                    r, date=datetime.date.today().isoformat())) + "\n")
     print(f"\n{'config':<14} {'backend':<8} {'fwd ms':>9} {'bwd ms':>9} "
           f"{'splats/s':>12} {'vs A100':>8}")
     for r in rows:

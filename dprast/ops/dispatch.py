@@ -8,7 +8,9 @@ a *kernel strategy*:
 
 - ``"xla"``     pure-jnp scatter/gather oracle (`dprast.ops.core`) — any dims
 - ``"matmul"``  scatter-free MXU contraction (`dprast.ops.splat_matmul`)
-- ``"pallas"``  fused Pallas TPU kernels (`dprast.ops.pallas_splat`)
+- ``"pallas"``  fused small-grid Pallas kernels (`dprast.ops.pallas_splat`)
+- ``"binned"``  slot-scheduled tile-binned Pallas kernels for any
+                tile-aligned 2D/3D grid (`dprast.ops.splat_binned`)
 - ``"auto"``    best available for the given dims / grid / platform
 """
 
@@ -19,8 +21,7 @@ import functools
 import jax
 from jax import lax
 
-from dprast.ops import (core, pallas_splat, splat_binned, splat_matmul,
-                        splat_tiled)
+from dprast.ops import core, pallas_splat, splat_binned, splat_matmul
 
 _REGISTRY = {}
 
@@ -48,9 +49,6 @@ register("matmul_bf16",
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          lambda n_out, grid=None, n_points=None:
          pallas_splat.supported(n_out, grid))
-register("tiled", splat_tiled.raster_fwd, splat_tiled.raster_pullback,
-         lambda n_out, grid=None, n_points=None:
-         splat_tiled.supported(n_out, grid))
 register("binned", splat_binned.raster_fwd, splat_binned.raster_pullback,
          splat_binned.supported)
 

@@ -1,8 +1,9 @@
 """Slot-scheduled Pallas backend: tile-binned splat for ANY tile-aligned
 2D/3D grid, including the single-tile (<=128^2) flagship case.
 
-This is the second-generation TPU design (replacing `splat_tiled`'s
-run-loop kernels, which Mosaic could not compile at scale).  The reference
+This is the second-generation TPU design (it replaced the round-1
+run-loop "tiled" backend, whose manual-DMA kernels Mosaic could not
+compile at scale).  The reference
 solves the same problem with global-memory atomics
 (`src/raster.jl:64`, `ext/DiffPointRasterisationCUDAExt.jl:19-210`); on TPU
 there are no atomics, so conflicts are eliminated structurally:

@@ -101,3 +101,9 @@ def test_golden_through_api():
     ref = dprast.raster((128, 128), points, jnp.eye(2), jnp.zeros(2),
                         backend="xla")
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
+
+
+def test_resolve_untileable_3d_falls_back():
+    # tz = gz > 128 with gy underflow must cleanly resolve to a fallback
+    # backend, never crash (ADVICE r1 regression)
+    assert dispatch.resolve("auto", 3, (130, 128, 128)) in ("xla", "matmul")

@@ -14,7 +14,7 @@ def test_public_api_surface():
     for name in dprast.__all__:
         assert hasattr(dprast, name), name
     assert set(dprast.available_backends()) >= {"xla", "matmul", "pallas",
-                                                "tiled"}
+                                                "binned"}
     assert dprast.default_backend() == "auto"
 
 
