@@ -46,6 +46,16 @@ register("matmul_bf16",
                            precision=lax.Precision.DEFAULT),
          lambda n_out, grid=None, n_points=None:
          splat_matmul.supported(n_out))
+# int8-MXU fixed-point mode: 2x the bf16 rate with exact int32
+# accumulation; bounded error ~2^-21 — INSIDE the 1e-5 parity contract
+# (unlike matmul_bf16).
+register("matmul_int8",
+         functools.partial(splat_matmul.raster_fwd,
+                           precision=splat_matmul.INT8),
+         functools.partial(splat_matmul.raster_pullback,
+                           precision=splat_matmul.INT8),
+         lambda n_out, grid=None, n_points=None:
+         splat_matmul.supported(n_out))
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          lambda n_out, grid=None, n_points=None:
          pallas_splat.supported(n_out, grid))

@@ -42,6 +42,58 @@ from dprast.ops.core import PullbackResult
 # MXU (bf16x3 passes), needed for the 1e-5 gradient-parity target.
 _PRECISION = lax.Precision.HIGHEST
 
+# Marker for the int8 fixed-point mode: the heavy contractions run as 6
+# int8 MXU passes (see _einsum_i8).  The v5e int8 MXU is 2x the bf16 rate
+# and int32 accumulation is EXACT, so this is both the fastest and a
+# tightly-bounded-error mode (~2^-21 relative — well under the 1e-5
+# parity target, unlike the documented ~4e-3 'matmul_bf16' fast mode).
+INT8 = "int8"
+
+
+def _quant3(x, axes):
+    """3-level fixed-point decomposition of f32 `x`: returns
+    ([q1, q2, q3] int8, scale) with
+    ``x ~= scale * (q1 + q2/128 + q3/128^2) / 127`` and residual
+    ``<= scale * 2^-21``.  `axes`: reduction axes for the dynamic scale
+    (kept as broadcastable dims)."""
+    s = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny * 1e10)
+    qs = []
+    rem = x * (127.0 / s)
+    for _ in range(3):
+        q = jnp.clip(jnp.round(rem), -127, 127)
+        qs.append(q.astype(jnp.int8))
+        rem = (rem - q) * 128.0
+    return qs, s * (1.0 / 127.0)
+
+
+def _einsum_i8(spec, a, b, sa_axes, sb_axes):
+    """`jnp.einsum(spec, a, b)` on the int8 MXU with exact int32
+    accumulation: both operands are 3-level fixed point and the 6 cross
+    passes with weight >= 2^-21 are summed (dropped tail < 2^-21 relative
+    to the operand scales).  2x the bf16 MXU rate on v5e."""
+    qa, sa = _quant3(a, sa_axes)
+    qb, sb = _quant3(b, sb_axes)
+    out = None
+    for ta in range(3):
+        for tb in range(3):
+            if ta + tb > 2:
+                continue
+            part = jnp.einsum(spec, qa[ta], qb[tb],
+                              preferred_element_type=jnp.int32)
+            term = part.astype(jnp.float32) * (128.0 ** -(ta + tb))
+            out = term if out is None else out + term
+    # broadcastable scales: contract the kept dims the same way einsum did
+    scale = jnp.einsum(spec, sa, sb)
+    return out * scale
+
+
+def _heavy_einsum(spec, a, b, precision, sa_axes=(1, 2), sb_axes=(1, 2)):
+    """The splat contractions: int8 cross-pass mode or a plain einsum."""
+    if precision == INT8:
+        return _einsum_i8(spec, a, b, sa_axes, sb_axes)
+    return jnp.einsum(spec, a, b, precision=precision)
+
 
 def _pick_chunk(n_points: int, batch: int, grid_size) -> int:
     """Static point-chunk size: bound transient factor memory to ~128 MiB
@@ -106,6 +158,8 @@ def raster_fwd(grid_size, points, rotation, translation, background,
     pts_k, pw_k, valid_k, k, _ = _chunked(points, point_weight, chunk)
     dtype = jnp.result_type(points.dtype, rotation.dtype, translation.dtype)
 
+    light = _PRECISION if precision == INT8 else precision
+
     def step(acc, xs):
         pts_c, pw_c, valid_c = xs
         r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
@@ -117,17 +171,17 @@ def raster_fwd(grid_size, points, rotation, translation, background,
         # fold the per-point weight into the first factor
         facs[0] = facs[0] * pw_c[None, :, None]
         if n_out == 1:
-            upd = jnp.einsum("bph->bh", facs[0], precision=precision)
+            upd = jnp.einsum("bph->bh", facs[0], precision=light)
         elif n_out == 2:
-            upd = jnp.einsum("bph,bpw->bhw", facs[0], facs[1],
-                             precision=precision)
+            upd = _heavy_einsum("bph,bpw->bhw", facs[0], facs[1],
+                                precision)
         else:  # n_out == 3: fuse (z, y) then contract with x on the MXU
             zy = jnp.einsum("bpz,bpy->bpzy", facs[0], facs[1],
-                            precision=precision)
+                            precision=light)
             zy = zy.reshape(b, chunk, grid_size[0] * grid_size[1])
-            upd = jnp.einsum("bpk,bpx->bkx", zy, facs[2],
-                             precision=precision).reshape(
-                                 (b,) + tuple(grid_size))
+            upd = _heavy_einsum("bpk,bpx->bkx", zy, facs[2],
+                                precision).reshape(
+                                    (b,) + tuple(grid_size))
         return acc + upd, None
 
     acc0 = geometry.zeros_vma((b,) + tuple(grid_size), dtype,
@@ -153,6 +207,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     pts_k, pw_k, valid_k, k, pad = _chunked(points, point_weight, chunk)
 
     g = ds_dout  # (B, *grid)
+    light = _PRECISION if precision == INT8 else precision
 
     def step(carry, xs):
         pts_c, pw_c, valid_c = xs
@@ -166,42 +221,42 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         if n_out == 1:
             (a0, d0), = fs
             u0 = g  # (B, H)
-            gW = jnp.einsum("bph,bh->bp", a0, g, precision=precision)
+            gW = jnp.einsum("bph,bh->bp", a0, g, precision=light)
             ds_du = jnp.einsum("bph,bh->bp", d0, g,
-                               precision=precision)[..., None]
+                               precision=light)[..., None]
         elif n_out == 2:
             (a0, d0), (a1, d1) = fs
             # U[p,h] = sum_w B[p,w] g[h,w] ; V[p,w] = sum_h A[p,h] g[h,w]
-            u0 = jnp.einsum("bpw,bhw->bph", a1, g, precision=precision)
-            v1 = jnp.einsum("bph,bhw->bpw", a0, g, precision=precision)
-            gW = jnp.einsum("bpw,bpw->bp", v1, a1, precision=precision)
+            u0 = _heavy_einsum("bpw,bhw->bph", a1, g, precision)
+            v1 = _heavy_einsum("bph,bhw->bpw", a0, g, precision)
+            gW = jnp.einsum("bpw,bpw->bp", v1, a1, precision=light)
             ds_du = jnp.stack([
-                jnp.einsum("bph,bph->bp", d0, u0, precision=precision),
-                jnp.einsum("bpw,bpw->bp", v1, d1, precision=precision),
+                jnp.einsum("bph,bph->bp", d0, u0, precision=light),
+                jnp.einsum("bpw,bpw->bp", v1, d1, precision=light),
             ], axis=-1)
         else:
             (a0, d0), (a1, d1), (a2, d2) = fs
             gz, gy, gx = grid_size
             gf = g.reshape(b, gz * gy, gx)
             # contract x first: E[p, zy] = sum_x A2[p,x] g[zy, x]
-            e = jnp.einsum("bpx,bkx->bpk", a2, gf,
-                           precision=precision).reshape(b, chunk, gz, gy)
-            ey = jnp.einsum("bpy,bpzy->bpz", a1, e, precision=precision)
-            gW = jnp.einsum("bpz,bpz->bp", a0, ey, precision=precision)
-            ds_du_z = jnp.einsum("bpz,bpz->bp", d0, ey, precision=precision)
+            e = _heavy_einsum("bpx,bkx->bpk", a2, gf,
+                              precision).reshape(b, chunk, gz, gy)
+            ey = jnp.einsum("bpy,bpzy->bpz", a1, e, precision=light)
+            gW = jnp.einsum("bpz,bpz->bp", a0, ey, precision=light)
+            ds_du_z = jnp.einsum("bpz,bpz->bp", d0, ey, precision=light)
             ds_du_y = jnp.einsum(
-                "bpz,bpy,bpzy->bp", a0, d1, e, precision=precision)
+                "bpz,bpy,bpzy->bp", a0, d1, e, precision=light)
             # contract z,y first for the x gradient
-            ezy = jnp.einsum("bpz,bpy->bpzy", a0, a1, precision=precision)
+            ezy = jnp.einsum("bpz,bpy->bpzy", a0, a1, precision=light)
             ezy = ezy.reshape(b, chunk, gz * gy)
             ds_du_x = jnp.einsum("bpk,bpx,bkx->bp", ezy, d2, gf,
-                                 precision=precision)
+                                 precision=light)
             ds_du = jnp.stack([ds_du_z, ds_du_y, ds_du_x], axis=-1)
 
         # weight gradients from gW = sum_s g · W_s  per (b, p)
-        d_ow = jnp.einsum("bp,p->b", gW, pw_c, precision=precision)
+        d_ow = jnp.einsum("bp,p->b", gW, pw_c, precision=light)
         d_pw = jnp.einsum("bp,b->p", gW, out_weight,
-                          precision=precision)
+                          precision=light)
 
         scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
         coeff = (out_weight[:, None] * pw_c[None, :])[..., None]
@@ -209,9 +264,9 @@ def raster_pullback(grid_size, points, rotation, translation, background,
 
         d_t = jnp.sum(scaled, axis=1)                                # (B, N_out)
         d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c,
-                         precision=precision)
+                         precision=light)
         d_p = jnp.einsum("boi,bpo->pi", rotation, scaled,
-                         precision=precision)               # (Pc, N_in)
+                         precision=light)               # (Pc, N_in)
 
         c_t, c_r, c_ow = carry
         return (c_t + d_t, c_r + d_r, c_ow + d_ow), (d_p, d_pw)
