@@ -120,6 +120,19 @@ def _single_tile(grid_size) -> bool:
     return len(grid_size) == 2 and n_tiles(grid_size) == 1
 
 
+def _out_struct(shape, dtype, *like):
+    """Kernel out_shape whose varying-manual-axes match the inputs' union —
+    required under `jax.shard_map` (check_vma=True), where a pallas_call
+    must declare how its output varies over the mesh axes (per-shard
+    binning over the points axis, SURVEY §7.5)."""
+    vma = frozenset()
+    for a in like:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _interpret_default() -> bool:
     try:
         return jax.default_backend() not in ("tpu", "axon")
@@ -484,7 +497,8 @@ def raster_fwd(grid_size, points, rotation, translation, background,
         functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
                           n_out=n_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, nt, rows_e, cols_e), f32),
+        out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
+                              data),
         interpret=interpret,
     )(slot_tile, data)
 
@@ -714,7 +728,8 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
                           n_out=n_out, nts=nts),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, n_out + 1, s_pad), f32),
+        out_shape=_out_struct((bsz, n_out + 1, s_pad), f32, slot_tile,
+                              coord, *g_inputs),
         interpret=interpret,
     )(slot_tile, coord, *g_inputs)
 

@@ -138,8 +138,16 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
 def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
                       background, out_weight, point_weight):
     n_out = len(grid_size)
+    # The binned backend's scalar-prefetch index maps slice a per-shard slot
+    # table; JAX's vma checker rejects that mixed-variance dynamic_slice
+    # (its own error suggests check_vma=False as the workaround).  The
+    # forward's collectives are explicit psums either way; only the
+    # automatic variance *checking* is disabled on this path.
+    check_vma = backend != "binned"
 
     def vary(x, axis):
+        if not check_vma:
+            return x
         return lax.pcast(x, axis, to="varying")
 
     def local(pts, rot, tr, bg, ow, pw):
@@ -165,6 +173,7 @@ def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
                   P(POSES_AXIS, None), P(POSES_AXIS), P(POSES_AXIS),
                   P(POINTS_AXIS)),
         out_specs=P(POSES_AXIS, *([None] * n_out)),
+        check_vma=check_vma,
     )
     return fn(points, rotation, translation, background, out_weight,
               point_weight)

