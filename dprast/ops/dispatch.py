@@ -19,7 +19,6 @@ from __future__ import annotations
 import functools
 
 import jax
-from jax import lax
 
 from dprast.ops import core, pallas_splat, splat_binned, splat_matmul
 
@@ -37,23 +36,12 @@ register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
          lambda n_out, grid=None, n_points=None:
          splat_matmul.supported(n_out))
 
-# Documented fast mode: 1-pass bf16 matmuls (~4e-3 relative error — fine
-# for rendering/fitting, outside the 1e-5 reference-parity contract).
+# Documented fast mode: 1-plane bf16 value operands (~2e-3 relative error
+# — fine for rendering/fitting, outside the 1e-5 reference-parity
+# contract; the exact one-hot side is unaffected).
 register("matmul_bf16",
-         functools.partial(splat_matmul.raster_fwd,
-                           precision=lax.Precision.DEFAULT),
-         functools.partial(splat_matmul.raster_pullback,
-                           precision=lax.Precision.DEFAULT),
-         lambda n_out, grid=None, n_points=None:
-         splat_matmul.supported(n_out))
-# int8-MXU fixed-point mode: 2x the bf16 rate with exact int32
-# accumulation; bounded error ~2^-21 — INSIDE the 1e-5 parity contract
-# (unlike matmul_bf16).
-register("matmul_int8",
-         functools.partial(splat_matmul.raster_fwd,
-                           precision=splat_matmul.INT8),
-         functools.partial(splat_matmul.raster_pullback,
-                           precision=splat_matmul.INT8),
+         functools.partial(splat_matmul.raster_fwd, terms=1),
+         functools.partial(splat_matmul.raster_pullback, terms=1),
          lambda n_out, grid=None, n_points=None:
          splat_matmul.supported(n_out))
 register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,

@@ -1,35 +1,50 @@
 """Scatter-free MXU formulation of the multilinear splat.
 
-The splat weight factorises over output axes: with per-axis one-hot-pair
-vectors ``a_p(h) = (h == r0_y) (1-dl_y) + (h == r0_y+1) dl_y`` (and likewise
-``b_p(w)`` for the second axis), the 2D forward is a single contraction over
-points
+The splat weight factorises over output axes.  Split the stencil of the
+LAST (lane) axis into its two branches ``sx in {0, 1}`` and write the
+one-hot of column ``r0_x + sx`` as an EXACT 0/1 matrix ``O_sx`` (exactly
+representable in bf16); everything else — the product of the leading-axis
+pair factors, the per-point weight and the branch weight ``w_sx(dl_x)`` —
+is a dense f32 "value" operand ``V_sx``.  The forward is then
 
-    out[b] = background[b] + out_weight[b] * einsum('ph,pw->hw', pw * A, B)
+    out[b] = bg[b] + ow[b] * sum_sx einsum('pr,px->rx', V_sx, O_sx)
 
-i.e. a dense matmul that runs on the TPU MXU with **no scatter and no
-atomics** — the TPU-native replacement for the reference's atomic adds
-(`src/raster.jl:64`) and its CUDA shared-memory reductions
+i.e. dense matmuls on the TPU MXU with **no scatter and no atomics** — the
+TPU-native replacement for the reference's atomic adds (`src/raster.jl:64`)
+and its CUDA shared-memory reductions
 (`ext/DiffPointRasterisationCUDAExt.jl:107-191`).  Out-of-grid neighbours
-drop out automatically because the iota comparison never matches.
+drop out automatically because the iota comparison never matches
+(`src/raster.jl:62` drop semantics).
 
-The backward needs only two more matmuls per pose:
+Precision: each ``V`` is decomposed into an error-free sum of `terms` bf16
+planes (via `lax.reduce_precision` — an ``astype`` round-trip would be
+elided by XLA's excess-precision pass, silently collapsing the
+decomposition) and each plane hits the MXU once against the exact one-hot.
+With no cross terms, 3 planes reproduce every product to ~2^-24; measured
+end-to-end parity vs the f64 oracle is ~1e-7 — vs ~1e-5 for a plain f32
+einsum at `Precision.HIGHEST`, whose internal bf16_6x scheme rounds BOTH
+operands.  XLA fuses the one-hot/value construction into the dot operand
+reads (verified via cost_analysis: ~40 MB HBM per chunk instead of the
+~400 MB a materialised formulation pays), so the path runs compute-bound.
 
-    U = einsum('pw,hw->ph', B, g)     V = einsum('ph,hw->pw', A, g)
-    ds/du_y[p] = <A'_p, U_p>          ds/du_x[p] = <V_p, B'_p>
-    sum_s g·W_s per (b,p) = <V_p, B_p>   (drives the two weight gradients)
+The backward reuses the SAME selection family: ``T_sx = O_sx @ g`` gathers,
+per point, the two x-stencil columns of the cotangent across all
+leading-axis rows; every gradient then follows from fused VPU row
+reductions against the leading-axis pair factors.  ONE exact selection
+(2 branches × `terms` MXU passes) replaces the two dense f32 contractions
+a direct transpose needs — half the MXU passes of the previous
+`Precision.HIGHEST` formulation (which is where the reference's CUDA
+kernel spends its shared-memory tree reductions,
+`ext/...CUDAExt.jl:107-191`).  Point/pose/weight gradients follow exactly
+as in the reference (`src/raster_pullback.jl:67-72`).
 
-with ``A'_p(h) = (h == r0+1) - (h == r0)``.  Point/pose/weight gradients then
-follow from tiny contractions exactly as in the reference
-(`src/raster_pullback.jl:67-72`).
-
-Points are processed in static-size chunks via `lax.scan` so the one-hot
-factors live only transiently (in VMEM once Pallas-fused; in a small HBM
-buffer on the pure-XLA path here).
+Points are processed in static-size chunks via `lax.scan` so transient
+operands stay bounded.  float64 inputs (CPU tests; the reference runs its
+suite in Float64) skip the bf16 decomposition and run the same branch dots
+at `Precision.HIGHEST` in the input dtype.
 """
 
 from __future__ import annotations
-
 
 import jax
 import jax.numpy as jnp
@@ -38,91 +53,53 @@ from jax import lax
 from dprast.ops import geometry
 from dprast.ops.core import PullbackResult
 
-# Default matmul precision: HIGHEST gives f32-faithful accumulation on the
-# MXU (bf16x3 passes), needed for the 1e-5 gradient-parity target.
-_PRECISION = lax.Precision.HIGHEST
-
-# Marker for the int8 fixed-point mode: the heavy contractions run as 6
-# int8 MXU passes (see _einsum_i8).  The v5e int8 MXU is 2x the bf16 rate
-# and int32 accumulation is EXACT, so this is both the fastest and a
-# tightly-bounded-error mode (~2^-21 relative — well under the 1e-5
-# parity target, unlike the documented ~4e-3 'matmul_bf16' fast mode).
-INT8 = "int8"
+# Error-free bf16 planes per value operand.  3 => ~2^-24 products (the
+# parity default); 1 => one bf16 pass (~2e-3 relative, the documented
+# 'matmul_bf16' fast mode).
+TERMS = 3
 
 
-def _quant3(x, axes):
-    """3-level fixed-point decomposition of f32 `x`: returns
-    ([q1, q2, q3] int8, scale) with
-    ``x ~= scale * (q1 + q2/128 + q3/128^2) / 127`` and residual
-    ``<= scale * 2^-21``.  `axes`: reduction axes for the dynamic scale
-    (kept as broadcastable dims)."""
-    s = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
-    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny * 1e10)
-    qs = []
-    rem = x * (127.0 / s)
-    for _ in range(3):
-        q = jnp.clip(jnp.round(rem), -127, 127)
-        qs.append(q.astype(jnp.int8))
-        rem = (rem - q) * 128.0
-    return qs, s * (1.0 / 127.0)
+def supported(n_out: int) -> bool:
+    return n_out in (1, 2, 3)
 
 
-def _einsum_i8(spec, a, b, sa_axes, sb_axes):
-    """`jnp.einsum(spec, a, b)` on the int8 MXU with exact int32
-    accumulation: both operands are 3-level fixed point and the 6 cross
-    passes with weight >= 2^-21 are summed (dropped tail < 2^-21 relative
-    to the operand scales).  2x the bf16 MXU rate on v5e."""
-    qa, sa = _quant3(a, sa_axes)
-    qb, sb = _quant3(b, sb_axes)
+def _split_planes(x, terms):
+    """Error-free decomposition of f32 `x` into `terms` bf16 planes via
+    `lax.reduce_precision` (see module docstring for why not astype)."""
+    planes = []
+    rem = x
+    for i in range(terms):
+        t = rem if i == terms - 1 else lax.reduce_precision(rem, 8, 7)
+        planes.append(t.astype(jnp.bfloat16))
+        rem = rem - t
+    return planes
+
+
+def _branch_dot(spec, value, onehot_mask, terms):
+    """``einsum(spec, value, onehot)``: bf16 planes x exact 0/1 one-hot on
+    the MXU with f32 accumulation; float64 runs one HIGHEST dot instead."""
+    if value.dtype == jnp.float64:
+        return jnp.einsum(spec, value, onehot_mask.astype(jnp.float64),
+                          precision=lax.Precision.HIGHEST)
+    o = onehot_mask.astype(jnp.bfloat16)
     out = None
-    for ta in range(3):
-        for tb in range(3):
-            if ta + tb > 2:
-                continue
-            part = jnp.einsum(spec, qa[ta], qb[tb],
-                              preferred_element_type=jnp.int32)
-            term = part.astype(jnp.float32) * (128.0 ** -(ta + tb))
-            out = term if out is None else out + term
-    # broadcastable scales: contract the kept dims the same way einsum did
-    scale = jnp.einsum(spec, sa, sb)
-    return out * scale
-
-
-def _heavy_einsum(spec, a, b, precision, sa_axes=(1, 2), sb_axes=(1, 2)):
-    """The splat contractions: int8 cross-pass mode or a plain einsum."""
-    if precision == INT8:
-        return _einsum_i8(spec, a, b, sa_axes, sb_axes)
-    return jnp.einsum(spec, a, b, precision=precision)
+    for vt in _split_planes(value, terms):
+        part = jnp.einsum(spec, vt, o, preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    return out
 
 
 def _pick_chunk(n_points: int, batch: int, grid_size) -> int:
-    """Static point-chunk size: bound transient factor memory to ~128 MiB
-    while keeping the MXU contraction dimension reasonably large.  For 3D
-    grids the dominant transient is the fused (B, Pc, Z*Y) plane factor."""
+    """Static point-chunk size: bound the transient (B, C, R) value operand
+    to ~128 MiB while keeping the contraction dimension large."""
     if len(grid_size) == 3:
         width = grid_size[0] * grid_size[1] + sum(grid_size)
     else:
-        width = sum(grid_size)  # H + W
+        width = sum(grid_size)
     budget = 128 * 1024 * 1024
     chunk = budget // max(1, 4 * batch * width)
     chunk = max(8, min(n_points, chunk))
-    # round to sublane multiple
     return min(int(-(-n_points // 8) * 8), int(-(-chunk // 8) * 8))
-
-
-def _axis_factors(r0_ax, dl_ax, n: int, valid):
-    """One-hot-pair factor matrix and its u-derivative for one output axis.
-
-    r0_ax, dl_ax: (B, Pc) → (A, dA): (B, Pc, n).
-    """
-    h = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
-    lo = h == r0_ax[..., None]
-    hi = h == (r0_ax[..., None] + 1)
-    dl = dl_ax[..., None]
-    a = jnp.where(lo, 1 - dl, 0) + jnp.where(hi, dl, 0)
-    da = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
-    v = valid[..., None].astype(a.dtype)
-    return a * v, da * v
 
 
 def _chunked(points, point_weight, chunk):
@@ -138,66 +115,81 @@ def _chunked(points, point_weight, chunk):
             valid.reshape(k, chunk), k, pad)
 
 
-def supported(n_out: int) -> bool:
-    return n_out in (1, 2, 3)
+def _axis_pair(r0_ax, dl_ax, n, cdt):
+    """Dense pair factor (A, dA) for one leading axis: (B, C, n) with
+    ``1-dl`` at row r0 and ``dl`` at row r0+1 (dA: -1/+1 there);
+    out-of-grid rows never match."""
+    h = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    lo = h == r0_ax[..., None]
+    hi = h == (r0_ax[..., None] + 1)
+    dl = dl_ax[..., None].astype(cdt)
+    one = jnp.asarray(1, cdt)
+    a = jnp.where(lo, 1 - dl, 0) + jnp.where(hi, dl, 0)
+    da = jnp.where(hi, one, 0) - jnp.where(lo, one, 0)
+    return a, da
+
+
+def _compute_dtype(*dtypes):
+    d = jnp.result_type(*dtypes)
+    return jnp.dtype(jnp.float64 if d == jnp.float64 else jnp.float32)
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
-               precision=_PRECISION):
-    """Forward rasterisation via per-axis factor contractions.
+               terms: int = TERMS):
+    """Forward rasterisation via exact-one-hot branch contractions.
 
     Canonical batched args (see `dprast.ops.core`) → (B, *grid_size).
     """
     n_out = len(grid_size)
-    assert supported(n_out), f"matmul path supports N_out in (1,2,3), got {n_out}"
+    assert supported(n_out), \
+        f"matmul path supports N_out in (1,2,3), got {n_out}"
     b = rotation.shape[0]
     p, _ = points.shape
     if chunk is None:
         chunk = _pick_chunk(p, b, grid_size)
     pts_k, pw_k, valid_k, k, _ = _chunked(points, point_weight, chunk)
     dtype = jnp.result_type(points.dtype, rotation.dtype, translation.dtype)
-
-    light = _PRECISION if precision == INT8 else precision
+    cdt = _compute_dtype(points.dtype, rotation.dtype, translation.dtype)
+    nx = grid_size[-1]
 
     def step(acc, xs):
         pts_c, pw_c, valid_c = xs
         r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
                                                 translation, grid_size)
-        facs = [
-            _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])[0]
-            for i in range(n_out)
-        ]
-        # fold the per-point weight into the first factor
-        facs[0] = facs[0] * pw_c[None, :, None]
-        if n_out == 1:
-            upd = jnp.einsum("bph->bh", facs[0], precision=light)
-        elif n_out == 2:
-            upd = _heavy_einsum("bph,bpw->bhw", facs[0], facs[1],
-                                precision)
-        else:  # n_out == 3: fuse (z, y) then contract with x on the MXU
-            zy = jnp.einsum("bpz,bpy->bpzy", facs[0], facs[1],
-                            precision=light)
-            zy = zy.reshape(b, chunk, grid_size[0] * grid_size[1])
-            upd = _heavy_einsum("bpk,bpx->bkx", zy, facs[2],
-                                precision).reshape(
-                                    (b,) + tuple(grid_size))
-        return acc + upd, None
+        # leading-axis dense value factor (B, C, R), point weight folded in
+        lead = (pw_c.astype(cdt)[None, :]
+                * valid_c[None, :].astype(cdt))[..., None]
+        for i in range(n_out - 1):
+            a_i, _ = _axis_pair(r0[..., i], dl[..., i], grid_size[i], cdt)
+            lead = (lead * a_i if i == 0 else
+                    (lead[..., :, None] * a_i[..., None, :]).reshape(
+                        b, chunk, -1))
+        dlx = dl[..., n_out - 1].astype(cdt)
+        xiota = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+        upd = None
+        for s, wx in ((0, 1 - dlx), (1, dlx)):
+            o = xiota == (r0[..., n_out - 1] + s)[..., None]
+            part = _branch_dot("bpr,bpx->brx", lead * wx[..., None], o,
+                               terms)
+            upd = part if upd is None else upd + part
+        return acc + upd.reshape(acc.shape), None
 
-    acc0 = geometry.zeros_vma((b,) + tuple(grid_size), dtype,
-                              points, rotation, translation, out_weight,
+    acc0 = geometry.zeros_vma((b,) + tuple(grid_size), cdt, points,
+                              rotation, translation, out_weight,
                               point_weight)
     acc, _ = lax.scan(step, acc0, (pts_k, pw_k, valid_k))
-    out = acc * out_weight.reshape((b,) + (1,) * n_out)
-    return out + background.reshape((b,) + (1,) * n_out).astype(out.dtype)
+    out = acc * out_weight.reshape((b,) + (1,) * n_out).astype(cdt)
+    out = out + background.reshape((b,) + (1,) * n_out).astype(cdt)
+    return out.astype(dtype)
 
 
 def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int | None = None,
-                    precision=_PRECISION) -> PullbackResult:
-    """Analytic pullback via factor-matrix contractions (gather-free AND
-    scatter-free).  Returns `PullbackResult` (see `dprast.ops.core`)."""
+                    terms: int = TERMS) -> PullbackResult:
+    """Analytic pullback via one exact selection-matmul family per chunk
+    (gather-free AND scatter-free).  Returns `PullbackResult`."""
     n_out = len(grid_size)
     assert supported(n_out)
     b = rotation.shape[0]
@@ -205,77 +197,92 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     if chunk is None:
         chunk = _pick_chunk(p, b, grid_size)
     pts_k, pw_k, valid_k, k, pad = _chunked(points, point_weight, chunk)
+    dtype = jnp.result_type(points.dtype, rotation.dtype, ds_dout.dtype)
+    cdt = _compute_dtype(points.dtype, rotation.dtype, ds_dout.dtype)
 
-    g = ds_dout  # (B, *grid)
-    light = _PRECISION if precision == INT8 else precision
+    nx = grid_size[-1]
+    r_lead = 1
+    for g_ in grid_size[:-1]:
+        r_lead *= g_
+    g = ds_dout.astype(cdt)
+    gf = g.reshape(b, r_lead, nx)
+    # hoisted: the cotangent's bf16 planes are shared by every chunk
+    g_planes = [gf] if cdt == jnp.float64 else _split_planes(gf, terms)
+    light = lax.Precision.HIGHEST
+
+    def selection(o_mask):
+        """T = O @ gf over the lane axis: (B, C, R) per-point selected
+        cotangent columns."""
+        if cdt == jnp.float64:
+            return jnp.einsum("bpx,brx->bpr", o_mask.astype(cdt),
+                              g_planes[0], precision=light)
+        o16 = o_mask.astype(jnp.bfloat16)
+        t = None
+        for gt in g_planes:
+            part = jnp.einsum("bpx,brx->bpr", o16, gt,
+                              preferred_element_type=jnp.float32)
+            t = part if t is None else t + part
+        return t
 
     def step(carry, xs):
         pts_c, pw_c, valid_c = xs
         r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
                                                 translation, grid_size)
-        fs = [
-            _axis_factors(r0[..., i], dl[..., i], grid_size[i], valid_c[None, :])
-            for i in range(n_out)
-        ]  # list of (A_i, dA_i), each (B, Pc, n_i)
+        xiota = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+        t0 = selection(xiota == r0[..., n_out - 1][..., None])
+        t1 = selection(xiota == (r0[..., n_out - 1] + 1)[..., None])
+        dlx = dl[..., n_out - 1].astype(cdt)[..., None]
+        v1 = (1 - dlx) * t0 + dlx * t1                    # (B, C, R)
+        dvx = t1 - t0
 
+        vmask = valid_c[None, :].astype(cdt)
         if n_out == 1:
-            (a0, d0), = fs
-            u0 = g  # (B, H)
-            gW = jnp.einsum("bph,bh->bp", a0, g, precision=light)
-            ds_du = jnp.einsum("bph,bh->bp", d0, g,
-                               precision=light)[..., None]
+            gW = v1[..., 0] * vmask
+            ds_du = (dvx[..., 0] * vmask)[..., None]
         elif n_out == 2:
-            (a0, d0), (a1, d1) = fs
-            # U[p,h] = sum_w B[p,w] g[h,w] ; V[p,w] = sum_h A[p,h] g[h,w]
-            u0 = _heavy_einsum("bpw,bhw->bph", a1, g, precision)
-            v1 = _heavy_einsum("bph,bhw->bpw", a0, g, precision)
-            gW = jnp.einsum("bpw,bpw->bp", v1, a1, precision=light)
-            ds_du = jnp.stack([
-                jnp.einsum("bph,bph->bp", d0, u0, precision=light),
-                jnp.einsum("bpw,bpw->bp", v1, d1, precision=light),
-            ], axis=-1)
+            ay, day = _axis_pair(r0[..., 0], dl[..., 0], grid_size[0], cdt)
+            gW = jnp.sum(ay * v1, axis=-1) * vmask
+            du_y = jnp.sum(day * v1, axis=-1) * vmask
+            du_x = jnp.sum(ay * dvx, axis=-1) * vmask
+            ds_du = jnp.stack([du_y, du_x], axis=-1)
         else:
-            (a0, d0), (a1, d1), (a2, d2) = fs
-            gz, gy, gx = grid_size
-            gf = g.reshape(b, gz * gy, gx)
-            # contract x first: E[p, zy] = sum_x A2[p,x] g[zy, x]
-            e = _heavy_einsum("bpx,bkx->bpk", a2, gf,
-                              precision).reshape(b, chunk, gz, gy)
-            ey = jnp.einsum("bpy,bpzy->bpz", a1, e, precision=light)
-            gW = jnp.einsum("bpz,bpz->bp", a0, ey, precision=light)
-            ds_du_z = jnp.einsum("bpz,bpz->bp", d0, ey, precision=light)
-            ds_du_y = jnp.einsum(
-                "bpz,bpy,bpzy->bp", a0, d1, e, precision=light)
-            # contract z,y first for the x gradient
-            ezy = jnp.einsum("bpz,bpy->bpzy", a0, a1, precision=light)
-            ezy = ezy.reshape(b, chunk, gz * gy)
-            ds_du_x = jnp.einsum("bpk,bpx,bkx->bp", ezy, d2, gf,
-                                 precision=light)
-            ds_du = jnp.stack([ds_du_z, ds_du_y, ds_du_x], axis=-1)
+            gz, gy = grid_size[0], grid_size[1]
+            az, daz = _axis_pair(r0[..., 0], dl[..., 0], gz, cdt)
+            ay, day = _axis_pair(r0[..., 1], dl[..., 1], gy, cdt)
+            v1zy = v1.reshape(b, chunk, gz, gy)
+            dvzy = dvx.reshape(b, chunk, gz, gy)
+            ey = jnp.einsum("bpy,bpzy->bpz", ay, v1zy, precision=light)
+            gW = jnp.sum(az * ey, axis=-1) * vmask
+            du_z = jnp.sum(daz * ey, axis=-1) * vmask
+            du_y = jnp.einsum("bpz,bpy,bpzy->bp", az, day, v1zy,
+                              precision=light) * vmask
+            du_x = jnp.einsum("bpz,bpy,bpzy->bp", az, ay, dvzy,
+                              precision=light) * vmask
+            ds_du = jnp.stack([du_z, du_y, du_x], axis=-1)
 
-        # weight gradients from gW = sum_s g · W_s  per (b, p)
-        d_ow = jnp.einsum("bp,p->b", gW, pw_c, precision=light)
-        d_pw = jnp.einsum("bp,b->p", gW, out_weight,
+        # weight gradients from gW = sum_s g · W_s per (b, p)
+        d_ow = jnp.einsum("bp,p->b", gW, pw_c.astype(cdt), precision=light)
+        d_pw = jnp.einsum("bp,b->p", gW, out_weight.astype(cdt),
                           precision=light)
 
-        scale = jnp.asarray(grid_size, dtype=ds_du.dtype) / 2
-        coeff = (out_weight[:, None] * pw_c[None, :])[..., None]
-        scaled = ds_du * coeff * scale  # (B, Pc, N_out)
+        scale = jnp.asarray(grid_size, cdt) / 2
+        coeff = (out_weight.astype(cdt)[:, None]
+                 * pw_c.astype(cdt)[None, :])[..., None]
+        scaled = ds_du * coeff * scale                    # (B, C, N_out)
 
-        d_t = jnp.sum(scaled, axis=1)                                # (B, N_out)
-        d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c,
+        d_t = jnp.sum(scaled, axis=1)
+        d_r = jnp.einsum("bpo,pi->boi", scaled, pts_c.astype(cdt),
                          precision=light)
-        d_p = jnp.einsum("boi,bpo->pi", rotation, scaled,
-                         precision=light)               # (Pc, N_in)
+        d_p = jnp.einsum("boi,bpo->pi", rotation.astype(cdt), scaled,
+                         precision=light)
 
         c_t, c_r, c_ow = carry
         return (c_t + d_t, c_r + d_r, c_ow + d_ow), (d_p, d_pw)
 
-    dtype = jnp.result_type(points.dtype, rotation.dtype, ds_dout.dtype)
     like = (points, rotation, translation, out_weight, point_weight, ds_dout)
-    carry0 = (geometry.zeros_vma((b, n_out), dtype, *like),
-              geometry.zeros_vma((b, n_out, n_in), dtype, *like),
-              geometry.zeros_vma((b,), dtype, *like))
+    carry0 = (geometry.zeros_vma((b, n_out), cdt, *like),
+              geometry.zeros_vma((b, n_out, n_in), cdt, *like),
+              geometry.zeros_vma((b,), cdt, *like))
     (d_t, d_r, d_ow), (d_p_k, d_pw_k) = lax.scan(
         step, carry0, (pts_k, pw_k, valid_k))
 
@@ -283,6 +290,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     d_pw = d_pw_k.reshape(k * chunk)[:p]
     d_bg = jnp.sum(g.reshape(b, -1), axis=-1)
 
-    return PullbackResult(points=d_points, rotation=d_r, translation=d_t,
-                          background=d_bg, out_weight=d_ow,
-                          point_weight=d_pw)
+    cast = lambda a: a.astype(dtype)
+    return PullbackResult(points=cast(d_points), rotation=cast(d_r),
+                          translation=cast(d_t), background=cast(d_bg),
+                          out_weight=cast(d_ow), point_weight=cast(d_pw))

@@ -221,25 +221,3 @@ def test_grad_binned_3d_matches_xla():
                                    atol=5e-6)
 
 
-def test_matmul_int8_within_parity_contract():
-    """The int8 fixed-point mode must stay INSIDE the 1e-5 reference-parity
-    contract (unlike matmul_bf16): 6 int8 MXU cross-passes bound the error
-    at ~2^-21 of the operand scales."""
-    fx = _fx(n_in=3, n_out=2, n_points=256, batch=4)
-    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
-    grid = (64, 64)
-    ref = dprast.raster(grid, *args, backend="matmul")
-    out = dprast.raster(grid, *args, backend="matmul_int8")
-    sc = max(float(jnp.max(jnp.abs(ref))), 1.0)
-    np.testing.assert_allclose(np.asarray(out) / sc, np.asarray(ref) / sc,
-                               atol=3e-6)
-    g = jnp.asarray(np.random.default_rng(4).standard_normal(ref.shape),
-                    jnp.float32)
-    pb_r = dprast.raster_pullback(g, *args, backend="matmul")
-    pb_i = dprast.raster_pullback(g, *args, backend="matmul_int8")
-    for name in pb_r._fields:
-        r = getattr(pb_r, name)
-        sc = max(float(jnp.max(jnp.abs(r))), 1.0)
-        np.testing.assert_allclose(
-            np.asarray(getattr(pb_i, name)) / sc, np.asarray(r) / sc,
-            atol=5e-6, err_msg=name)
