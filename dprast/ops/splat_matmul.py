@@ -53,10 +53,20 @@ from jax import lax
 from dprast.ops import geometry
 from dprast.ops.core import PullbackResult
 
-# Error-free bf16 planes per value operand.  3 => ~2^-24 products (the
-# parity default); 1 => one bf16 pass (~2e-3 relative, the documented
-# 'matmul_bf16' fast mode).
-TERMS = 3
+# Error-free bf16 planes per value operand; 1 plane = the documented
+# 'matmul_bf16' fast mode (~2e-3 relative error).  Defaults measured on
+# TPU v5e at the flagship config (1e5 pts x 64 poses, 128^2) vs the f64
+# oracle:
+#
+#   forward   2 planes  ~2.5e-6   7.8 ms   (3 planes: ~1e-7, 12.2 ms)
+#   backward  3 planes  ~2.6e-7  10.8 ms   (planes ride ONE dot: ~free)
+#
+# Both defaults sit well inside the <=1e-5 reference-parity contract
+# (BASELINE.json).  They differ because the backward concatenates its
+# planes along the contraction axis of a single selection dot (adding a
+# plane only deepens K), while each forward plane is its own dot.
+FWD_TERMS = 2
+BWD_TERMS = 3
 
 
 def supported(n_out: int) -> bool:
@@ -136,7 +146,7 @@ def _compute_dtype(*dtypes):
 
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
-               terms: int = TERMS):
+               terms: int = FWD_TERMS):
     """Forward rasterisation via exact-one-hot branch contractions.
 
     Canonical batched args (see `dprast.ops.core`) → (B, *grid_size).
@@ -187,7 +197,7 @@ def raster_fwd(grid_size, points, rotation, translation, background,
 def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int | None = None,
-                    terms: int = TERMS) -> PullbackResult:
+                    terms: int = BWD_TERMS) -> PullbackResult:
     """Analytic pullback via one exact selection-matmul family per chunk
     (gather-free AND scatter-free).  Returns `PullbackResult`."""
     n_out = len(grid_size)
@@ -206,29 +216,32 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         r_lead *= g_
     g = ds_dout.astype(cdt)
     gf = g.reshape(b, r_lead, nx)
-    # hoisted: the cotangent's bf16 planes are shared by every chunk
-    g_planes = [gf] if cdt == jnp.float64 else _split_planes(gf, terms)
     light = lax.Precision.HIGHEST
+    # hoisted: the cotangent's bf16 planes, CONCATENATED along the lane
+    # axis, are shared by every chunk.  Each branch selection is then ONE
+    # dot whose contraction runs over all planes at once (a separate dot
+    # per plane would materialise a full (B, C, R) f32 output each —
+    # measured 38.8 ms vs 10.8 ms at the flagship config).
+    if cdt == jnp.float64:
+        g_cat = gf
+        xiota = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+    else:
+        g_cat = jnp.concatenate(_split_planes(gf, terms), axis=-1)
+        xiota = lax.broadcasted_iota(jnp.int32, (1, 1, terms * nx), 2) % nx
 
     def selection(o_mask):
-        """T = O @ gf over the lane axis: (B, C, R) per-point selected
-        cotangent columns."""
+        """T = O @ g_cat over the (plane-tiled) lane axis: (B, C, R)
+        per-point selected cotangent columns, exact to the plane sum."""
         if cdt == jnp.float64:
-            return jnp.einsum("bpx,brx->bpr", o_mask.astype(cdt),
-                              g_planes[0], precision=light)
-        o16 = o_mask.astype(jnp.bfloat16)
-        t = None
-        for gt in g_planes:
-            part = jnp.einsum("bpx,brx->bpr", o16, gt,
-                              preferred_element_type=jnp.float32)
-            t = part if t is None else t + part
-        return t
+            return jnp.einsum("bpx,brx->bpr", o_mask.astype(cdt), g_cat,
+                              precision=light)
+        return jnp.einsum("bpx,brx->bpr", o_mask.astype(jnp.bfloat16),
+                          g_cat, preferred_element_type=jnp.float32)
 
     def step(carry, xs):
         pts_c, pw_c, valid_c = xs
         r0, dl = geometry.pose_voxel_and_deltas(pts_c, rotation,
                                                 translation, grid_size)
-        xiota = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
         t0 = selection(xiota == r0[..., n_out - 1][..., None])
         t1 = selection(xiota == (r0[..., n_out - 1] + 1)[..., None])
         dlx = dl[..., n_out - 1].astype(cdt)[..., None]
