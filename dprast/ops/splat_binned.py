@@ -57,7 +57,11 @@ from dprast.ops import geometry
 from dprast.ops.core import PullbackResult
 
 TILE = 128
-_SPLIT_TERMS = 3      # bf16 split terms: 3 => exact to f32 rounding
+# bf16 split terms for the value operand of the kernel matmuls: 2 keeps
+# the end-to-end error ~3e-6 vs the f64 oracle (inside the 1e-5 parity
+# contract; measured on v5e at 256^2/1024^2/128^3, tests_tpu/) and saves
+# one full MXU pass per matmul vs the exact-to-f32 3-term split.
+_SPLIT_TERMS = 2
 
 
 def tile_shape_for(grid_size):
@@ -111,7 +115,12 @@ def supported(n_out: int, grid_size=None, n_points=None) -> bool:
     nt = n_tiles(grid_size, ts)
     if nt > 4096:
         return False
-    if n_points is not None and nt * 128 > 8 * max(n_points, 1024):
+    # Slot-frame padding is ~nt*chunk inert rows; when that dwarfs the
+    # real rows the scatter oracle (whose cost scales with splats, not
+    # voxels) wins — measured on v5e at 10^5 points: 512^3 binned bwd
+    # 99 ms vs oracle ~21 ms at 1024^3, while 128^3 (nt*chunk ~= 0.65P)
+    # stays 2.4x faster on binned.
+    if n_points is not None and nt * 512 > 2 * max(n_points, 1024):
         return False
     return True
 
@@ -210,49 +219,41 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
 
     Returns (data (len(planes), s_pad) f32, slot_tile (n_slots,) i32).
     Filler rows get per-plane `fills` values — callers pass coordinates
-    that never match a one-hot and point ids that sort past every real
-    point.  Runs per pose under vmap.
+    that never match a one-hot.  Runs per pose under vmap.
+
+    ONE stable sort builds the frame: per-tile segment counts come from a
+    cheap compare-reduce over the *unsorted* keys, which lets filler rows
+    be emitted up front with interleaving keys — reals of tile t sort as
+    ``2t``, exactly the right number of fillers as ``2t+1``, everything
+    else (no-overlap points at key ``nt``, excess fillers) past the frame
+    at ``>= 2*nt``.  (The previous two-sort design — sort by tile, derive
+    slots, sort by slot — paid the full bitonic cost twice; gathers and
+    scatters are far slower than sort on TPU, so sorting fewer times, not
+    replacing the sort, is the lever.)
     """
     p = key.shape[0]
     s_pad = _slot_frame_size(p, nt, chunk)
     n_slots = s_pad // chunk
 
-    sorted_ops = lax.sort((key,) + tuple(planes), dimension=0, num_keys=1)
-    skey = sorted_ops[0]
-    # segment table incl. the sentinel segment (index nt)
-    iota_t = jnp.arange(nt + 1, dtype=jnp.int32)
-    counts = jnp.sum(skey[None, :] == iota_t[:, None], axis=1,
-                     dtype=jnp.int32)
-    padded = -(-counts[:nt] // chunk) * chunk
+    iota_t = jnp.arange(nt, dtype=jnp.int32)
+    counts = jnp.sum(key[None, :] == iota_t[:, None], axis=1,
+                     dtype=jnp.int32)                     # (nt,)
+    padded = -(-counts // chunk) * chunk
     if min_chunk_per_tile:
         padded = jnp.maximum(padded, chunk)
     poffs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                              jnp.cumsum(padded).astype(jnp.int32)])
-    seg = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                           jnp.cumsum(counts).astype(jnp.int32)])
-    # per-row slot: poffs[key] + rank within segment (sentinel rows go
-    # contiguously after all padded segments).  Lookups are
-    # broadcast-compare reduces — XLA fuses them; gathers would be slow.
-    eq = skey[:, None] == iota_t[None, :]
-    poff_of = jnp.sum(jnp.where(eq, poffs[None, :], 0), axis=1)
-    seg_of = jnp.sum(jnp.where(eq, seg[:-1][None, :], 0), axis=1)
-    rank = jnp.arange(p, dtype=jnp.int32) - seg_of
-    slot = poff_of + rank
-    # filler rows: pad each real segment up to its chunk multiple
+    # filler rows: exactly padded-counts of tile t keyed to sort directly
+    # after tile t's real rows; the rest past every real key
     f_k = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), nt)
-    f_needed = jnp.repeat(padded - counts[:nt], chunk)
-    f_base = jnp.repeat(poffs[:nt] + counts[:nt], chunk)
-    f_slot = jnp.where(f_k < f_needed, f_base + f_k, s_pad + 1)
-    # remaining input rows cover whatever of the static frame is unused
-    n_extra = s_pad - p - nt * chunk
-    all_slots = jnp.concatenate([
-        slot, f_slot,
-        jnp.full((max(n_extra, 0),), s_pad + 2, jnp.int32)])
-    fill_len = all_slots.shape[0] - p
-    cat = [jnp.concatenate([sorted_ops[1 + i],
-                            jnp.full((fill_len,), fills[i], jnp.float32)])
+    f_needed = jnp.repeat(padded - counts, chunk)
+    f_tile = jnp.repeat(iota_t, chunk)
+    f_key = jnp.where(f_k < f_needed, 2 * f_tile + 1, 2 * nt + 1)
+    keys2 = jnp.concatenate([2 * key, f_key])
+    cat = [jnp.concatenate([planes[i],
+                            jnp.full((nt * chunk,), fills[i], jnp.float32)])
            for i in range(len(planes))]
-    sorted2 = lax.sort((all_slots,) + tuple(cat), dimension=0, num_keys=1)
+    sorted2 = lax.sort((keys2,) + tuple(cat), dimension=0, num_keys=1)
     data = jnp.stack([c[:s_pad] for c in sorted2[1:]], axis=0)
     # row i of the frame belongs to tile #(count of poffs[t+1] <= i)
     starts = jnp.arange(n_slots, dtype=jnp.int32) * chunk
@@ -620,26 +621,26 @@ def raster_pullback(grid_size, points, rotation, translation, background,
 
     key, locs, _ = _keys_and_local(grid_size, ts, points, rotation,
                                    translation)
-    pw_b = jnp.broadcast_to(point_weight.astype(f32)[None, :], key.shape)
+    # the frame carries ONLY the encoded coords (kernel input) and the
+    # original point id (for the unsort); weights, point coordinates and
+    # the rotation all re-enter AFTER the unsort, where rows align with
+    # the original `points` order — this keeps the big binning sort at
+    # n_out+1 payload planes (sort cost scales with operand count)
     ptidx = jnp.broadcast_to(
         jnp.arange(p, dtype=f32)[None, :], key.shape)
-    pts_b = [jnp.broadcast_to(points.astype(f32)[None, :, i], key.shape)
-             for i in range(n_in)]
-    aux_planes = [pw_b, ptidx] + pts_b
-    # fills: enc 0 = inert coords; pw 0; ptidx p (sorts past every real
-    # point); pts 0
-    fills = [0.0] * n_out + [0.0, float(p)] + [0.0] * n_in
+    # fills: enc 0 = inert coords; ptidx p (sorts past every real point)
+    fills = [0.0] * n_out + [float(p)]
     if halo:
         data, slot_tile = jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
                                          False)
-        )(key, *locs, *aux_planes)
+        )(key, *locs, ptidx)
     else:
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
-        )(*locs, *aux_planes)
+        )(*locs, ptidx)
     coord = data[:, :n_out]                               # kernel input
-    aux = data[:, n_out:]                                 # [pw, ptidx, pts]
+    idx_rows = data[:, n_out]                             # (B, s_pad)
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
 
@@ -734,36 +735,36 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     )(slot_tile, coord, *g_inputs)
 
     # ---- everything below is plain XLA on the raw per-row gradients ----
-    pw_rows = aux[:, 0]                                   # (B, s_pad)
-    scale = jnp.asarray(grid_size, f32) / 2
-    ow = out_weight.astype(f32)
-    # scaled_i = du_i * (g_i/2) * ow * pw   (B, n_out, s_pad)
-    scaled = (buf[:, :n_out] * scale[None, :, None]
-              * (ow[:, None, None] * pw_rows[:, None, :]))
-    gw_rows = buf[:, n_out]                               # (B, s_pad)
-
-    d_t = jnp.sum(scaled, axis=-1)                        # (B, n_out)
-    pts_rows = aux[:, 2:2 + n_in]                         # (B, n_in, s_pad)
-    d_r = jnp.einsum("bns,bis->bni", scaled, pts_rows,
-                     precision=lax.Precision.HIGHEST)
-    d_ow = jnp.einsum("bs,bs->b", gw_rows, pw_rows,
-                      precision=lax.Precision.HIGHEST)
-    d_bg = jnp.sum(g_cot.reshape(bsz, -1), axis=-1)
-
-    # per-point rows: unsort by point id (the single sort is the TPU's
-    # fast permutation; the direct path needs none)
+    # unsort the raw kernel rows by point id FIRST (the single sort is the
+    # TPU's fast permutation; the direct path keeps original order and
+    # needs none); afterwards every row aligns with the original `points`
+    # array, so weights/points/rotation contract directly — no per-row
+    # broadcast planes ever ride the binning sort
     if halo:
-        idx_rows = aux[:, 1]
-
-        def unsort(idx, sc, gwr):
-            ops = lax.sort((idx,) + tuple(sc[i] for i in range(n_out))
+        def unsort(idx, du, gwr):
+            ops = lax.sort((idx,) + tuple(du[i] for i in range(n_out))
                            + (gwr,), dimension=0, num_keys=1)
             return jnp.stack(ops[1:1 + n_out], 0)[:, :p], ops[-1][:p]
 
-        sc_rows, gw_pt = jax.vmap(unsort)(idx_rows, scaled, gw_rows)
+        du_pt, gw_pt = jax.vmap(unsort)(idx_rows, buf[:, :n_out],
+                                        buf[:, n_out])
     else:
-        sc_rows, gw_pt = scaled[..., :p], gw_rows[..., :p]
-    d_points = jnp.einsum("bns,bni->si", sc_rows,
+        du_pt, gw_pt = buf[:, :n_out, :p], buf[:, n_out, :p]
+
+    scale = jnp.asarray(grid_size, f32) / 2
+    ow = out_weight.astype(f32)
+    pw = point_weight.astype(f32)
+    # scaled_i = du_i * (g_i/2) * ow * pw   (B, n_out, P)
+    scaled = (du_pt * scale[None, :, None]
+              * (ow[:, None, None] * pw[None, None, :]))
+
+    d_t = jnp.sum(scaled, axis=-1)                        # (B, n_out)
+    d_r = jnp.einsum("bns,si->bni", scaled, points.astype(f32),
+                     precision=lax.Precision.HIGHEST)
+    d_ow = jnp.einsum("bs,s->b", gw_pt, pw,
+                      precision=lax.Precision.HIGHEST)
+    d_bg = jnp.sum(g_cot.reshape(bsz, -1), axis=-1)
+    d_points = jnp.einsum("bns,bni->si", scaled,
                           rotation.astype(f32),
                           precision=lax.Precision.HIGHEST)  # (P, n_in)
     d_pw = jnp.einsum("bs,b->s", gw_pt, ow,
