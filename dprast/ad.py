@@ -30,15 +30,27 @@ def raster_canonical(grid_size, backend, points, rotation, translation,
 
 def _fwd(grid_size, backend, points, rotation, translation, background,
          out_weight, point_weight):
-    out = raster_canonical(grid_size, backend, points, rotation, translation,
-                           background, out_weight, point_weight)
-    residuals = (points, rotation, translation, background, out_weight,
-                 point_weight)
-    return out, residuals
+    args = (points, rotation, translation, background, out_weight,
+            point_weight)
+    pair = dispatch.vjp_pair(backend)
+    if pair is None:
+        out = raster_canonical(grid_size, backend, *args)
+        return out, (None, args)
+    # fused pair: the forward emits reusable residuals (e.g. the binned
+    # backend's sorted slot frame) so the pullback skips repeated prep.
+    # `_fwd` only runs under differentiation — plain forward calls take
+    # the residual-free primal path above.
+    out, res = pair[0](grid_size, *args)
+    return out, (res, args)
 
 
 def _bwd(grid_size, backend, residuals, ds_dout):
-    grads = dispatch.bwd_fn(backend)(grid_size, *residuals, ds_dout)
+    res, args = residuals
+    pair = dispatch.vjp_pair(backend)
+    if pair is None or res is None:
+        grads = dispatch.bwd_fn(backend)(grid_size, *args, ds_dout)
+    else:
+        grads = pair[1](grid_size, res, args, ds_dout)
     # PullbackResult field order == canonical argument order.
     return tuple(grads)
 

@@ -25,9 +25,16 @@ from dprast.ops import core, pallas_splat, splat_binned, splat_matmul
 _REGISTRY = {}
 
 
-def register(name: str, fwd, bwd, supports):
-    """supports: (n_out, grid_size | None, n_points | None) -> bool."""
-    _REGISTRY[name] = (fwd, bwd, supports)
+def register(name: str, fwd, bwd, supports, vjp_pair=None):
+    """supports: (n_out, grid_size | None, n_points | None) -> bool.
+
+    `vjp_pair` is an optional fused custom-vjp pair
+    ``(fwd_res(grid, *args) -> (out, residuals),
+    bwd_res(grid, residuals, args, ds_dout) -> PullbackResult)`` used by
+    `dprast.ad` under differentiation; backends whose pullback repeats
+    expensive forward prep (e.g. the binned backend's sort) register one.
+    """
+    _REGISTRY[name] = (fwd, bwd, supports, vjp_pair)
 
 
 register("xla", core.raster_fwd, core.raster_pullback,
@@ -48,7 +55,9 @@ register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
          lambda n_out, grid=None, n_points=None:
          pallas_splat.supported(n_out, grid))
 register("binned", splat_binned.raster_fwd, splat_binned.raster_pullback,
-         splat_binned.supported)
+         splat_binned.supported,
+         vjp_pair=(splat_binned.raster_fwd_res,
+                   splat_binned.raster_pullback_res))
 
 
 def available_backends() -> tuple[str, ...]:
@@ -77,7 +86,7 @@ def resolve(backend: str, n_out: int, grid_size=None,
         if backend not in _REGISTRY:
             raise ValueError(
                 f"Unknown backend {backend!r}; available: {available_backends()}")
-        _, _, supports = _REGISTRY[backend]
+        supports = _REGISTRY[backend][2]
         if not supports(n_out, grid_size, n_points):
             raise ValueError(
                 f"Backend {backend!r} does not support N_out={n_out} "
@@ -111,3 +120,8 @@ def fwd_fn(backend: str):
 
 def bwd_fn(backend: str):
     return _REGISTRY[backend][1]
+
+
+def vjp_pair(backend: str):
+    """Fused custom-vjp pair for `backend`, or None."""
+    return _REGISTRY[backend][3]

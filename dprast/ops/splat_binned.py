@@ -249,12 +249,19 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
     f_needed = jnp.repeat(padded - counts, chunk)
     f_tile = jnp.repeat(iota_t, chunk)
     f_key = jnp.where(f_k < f_needed, 2 * f_tile + 1, 2 * nt + 1)
-    keys2 = jnp.concatenate([2 * key, f_key])
+    # top the input up to >= s_pad rows (p + nt*chunk falls short when p
+    # is not a chunk multiple); short input would silently truncate the
+    # frame and leave kernel output rows unwritten
+    n_extra = max(s_pad - p - nt * chunk, 0)
+    keys2 = jnp.concatenate([2 * key, f_key,
+                             jnp.full((n_extra,), 2 * nt + 1, jnp.int32)])
     cat = [jnp.concatenate([planes[i],
-                            jnp.full((nt * chunk,), fills[i], jnp.float32)])
+                            jnp.full((nt * chunk + n_extra,), fills[i],
+                                     jnp.float32)])
            for i in range(len(planes))]
     sorted2 = lax.sort((keys2,) + tuple(cat), dimension=0, num_keys=1)
     data = jnp.stack([c[:s_pad] for c in sorted2[1:]], axis=0)
+    assert data.shape[-1] == s_pad, (data.shape, s_pad)
     # row i of the frame belongs to tile #(count of poffs[t+1] <= i)
     starts = jnp.arange(n_slots, dtype=jnp.int32) * chunk
     tile_of = jnp.sum((starts[:, None] >= poffs[None, 1:nt + 1])
@@ -444,6 +451,32 @@ def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
                interpret: bool | None = None):
     """Forward rasterisation -> (B, *grid_size)."""
+    out, _ = _fwd_impl(grid_size, points, rotation, translation, background,
+                       out_weight, point_weight, chunk=chunk,
+                       interpret=interpret, with_residuals=False)
+    return out
+
+
+def raster_fwd_res(grid_size, points, rotation, translation, background,
+                   out_weight, point_weight, *, chunk: int | None = None,
+                   interpret: bool | None = None):
+    """Forward + reusable binning residuals ``(data, slot_tile)``.
+
+    `jax.grad` goes through this pair (see `dprast.ad`): the sorted slot
+    frame additionally carries the point-id plane, so the pullback skips
+    its entire binning prep (keys + the big sort — ~27 ms of a 88 ms
+    backward at 1024², measured v5e).  The reference's
+    recompute-not-cache choice (`src/raster_pullback.jl:20-22`) is the
+    right call for its gather loop; here the binning is a quarter of the
+    backward, and caching it is the standard remat trade."""
+    return _fwd_impl(grid_size, points, rotation, translation, background,
+                     out_weight, point_weight, chunk=chunk,
+                     interpret=interpret, with_residuals=True)
+
+
+def _fwd_impl(grid_size, points, rotation, translation, background,
+              out_weight, point_weight, *, chunk, interpret,
+              with_residuals):
     n_out = len(grid_size)
     assert supported(n_out, grid_size), \
         f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
@@ -462,16 +495,22 @@ def raster_fwd(grid_size, points, rotation, translation, background,
                                    translation)
     w = (point_weight.astype(f32)[None, :]
          * out_weight.astype(f32)[:, None])               # (B, P)
+    planes = list(locs) + [w]
     fills = [0.0] * n_out + [0.0]                  # enc 0 = inert; w = 0
+    if with_residuals:
+        planes.append(jnp.broadcast_to(
+            jnp.arange(p, dtype=f32)[None, :], key.shape))
+        fills.append(float(p))   # fillers sort past every real point
     if halo:
         data, slot_tile = jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
                                          True)
-        )(key, *locs, w)
+        )(key, *locs, *planes[n_out:])
     else:
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
-        )(*locs, w)
+        )(*locs, *planes[n_out:])
+    data_fw = data[:, :n_out + 1] if with_residuals else data
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -485,7 +524,7 @@ def raster_fwd(grid_size, points, rotation, translation, background,
         num_scalar_prefetch=1,
         grid=(bsz, n_slots),
         in_specs=[
-            pl.BlockSpec((1, len(locs) + 1, chunk),
+            pl.BlockSpec((1, n_out + 1, chunk),
                          lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
         ],
@@ -499,14 +538,17 @@ def raster_fwd(grid_size, points, rotation, translation, background,
                           n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              data),
+                              data_fw),
         interpret=interpret,
-    )(slot_tile, data)
+    )(slot_tile, data_fw)
 
     out = _fold(ext, grid_size, ts, halo)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
     dtype = jnp.result_type(points, rotation, translation)
-    return out.astype(dtype)
+    out = out.astype(dtype)
+    if not with_residuals:
+        return out, None
+    return out, (data, slot_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -606,18 +648,13 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     n_out = len(grid_size)
     assert supported(n_out, grid_size), \
         f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
-    if interpret is None:
-        interpret = _interpret_default()
     if chunk is None:
         chunk = _default_chunk(grid_size)
     ts = tile_shape_for(grid_size)
     nt = n_tiles(grid_size, ts)
-    nts = tuple(g // t for g, t in zip(grid_size, ts))
     halo = not _single_tile(grid_size)
-    bsz = rotation.shape[0]
-    p, n_in = points.shape
+    p = points.shape[0]
     f32 = jnp.float32
-    g_cot = ds_dout.astype(f32)
 
     key, locs, _ = _keys_and_local(grid_size, ts, points, rotation,
                                    translation)
@@ -639,9 +676,43 @@ def raster_pullback(grid_size, points, rotation, translation, background,
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, ptidx)
-    coord = data[:, :n_out]                               # kernel input
-    idx_rows = data[:, n_out]                             # (B, s_pad)
-    s_pad = data.shape[-1]
+    return _pullback_from_frame(
+        grid_size, data[:, :n_out], data[:, n_out], slot_tile, points,
+        rotation, out_weight, point_weight, ds_dout, chunk=chunk,
+        interpret=interpret)
+
+
+def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
+                        chunk: int | None = None,
+                        interpret: bool | None = None) -> PullbackResult:
+    """Pullback reusing the forward's binning residuals (see
+    `raster_fwd_res`): the frame's coord planes and point ids are already
+    sorted, so the keys + big-sort prep is skipped entirely."""
+    n_out = len(grid_size)
+    if chunk is None:
+        chunk = _default_chunk(grid_size)
+    data, slot_tile = residuals
+    points, rotation, _, _, out_weight, point_weight = args
+    return _pullback_from_frame(
+        grid_size, data[:, :n_out], data[:, n_out + 1], slot_tile, points,
+        rotation, out_weight, point_weight, ds_dout, chunk=chunk,
+        interpret=interpret)
+
+
+def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
+                         rotation, out_weight, point_weight, ds_dout, *,
+                         chunk, interpret) -> PullbackResult:
+    n_out = len(grid_size)
+    if interpret is None:
+        interpret = _interpret_default()
+    ts = tile_shape_for(grid_size)
+    nts = tuple(g // t for g, t in zip(grid_size, ts))
+    halo = not _single_tile(grid_size)
+    bsz = rotation.shape[0]
+    p, n_in = points.shape
+    f32 = jnp.float32
+    g_cot = ds_dout.astype(f32)
+    s_pad = coord.shape[-1]
     n_slots = s_pad // chunk
 
     if n_out == 2:

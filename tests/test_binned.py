@@ -3,6 +3,7 @@ through the Pallas interpreter on CPU.  Covers the single-tile direct path
 (no sorts), the multi-tile halo path (tile straddle, edge drops, empty
 tiles, uneven segments), and 3D volumes."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -107,3 +108,25 @@ def test_resolve_untileable_3d_falls_back():
     # tz = gz > 128 with gy underflow must cleanly resolve to a fallback
     # backend, never crash (ADVICE r1 regression)
     assert dispatch.resolve("auto", 3, (130, 128, 128)) in ("xla", "matmul")
+
+
+def test_fused_vjp_matches_standalone_pullback():
+    """`jax.grad` rides the fused residual pair (`raster_fwd_res` /
+    `raster_pullback_res`, dispatch vjp_pair); it must agree exactly with
+    the standalone pullback.  Point count deliberately NOT a chunk
+    multiple and some points off-grid: regression for the short sort
+    input that truncated the slot frame and left kernel output rows
+    unwritten (NaN on hardware)."""
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.standard_normal((500, 3)) * 0.6, jnp.float32)
+    rot = jnp.asarray(np.stack([np.eye(3)[:2]] * 3), jnp.float32)
+    tr = jnp.asarray(rng.standard_normal((3, 2)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    out, vjp = jax.vjp(
+        lambda p: dprast.raster((256, 256), p, rot, tr, backend="binned"),
+        pts)
+    (gp,) = vjp(g)
+    res = dprast.raster_pullback(g, pts, rot, tr, backend="binned")
+    assert np.isfinite(np.asarray(gp)).all()
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(res.points),
+                               atol=1e-6)
