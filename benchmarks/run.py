@@ -56,24 +56,27 @@ def _args_for(n_points, batch, grid, n_in):
     return pts, rot, tr, bg, ow, pw
 
 
-def _per_iter(step, k1=2, k2=6):
-    """Per-iteration time of `step(c) -> c'` via K data-dependent chained
-    iterations inside ONE jit (fori_loop), linear-fitted over two K values
-    to cancel dispatch+fetch constants."""
+def _per_iter(step, *extra, k1=2, k2=6):
+    """Per-iteration time of `step(c, *extra) -> c'` via K data-dependent
+    chained iterations inside ONE jit (fori_loop), linear-fitted over two K
+    values to cancel dispatch+fetch constants.  Large operands (e.g. the
+    cotangent) MUST ride `extra`: closure-captured arrays are embedded in
+    the compile payload and overflow the remote-compile tunnel (HTTP 413).
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     def chained(k):
         @jax.jit
-        def run(c0):
-            return lax.fori_loop(0, k, lambda i, c: step(c), c0)
+        def run(c0, *e):
+            return lax.fori_loop(0, k, lambda i, c: step(c, *e), c0)
 
-        float(run(jnp.float32(0)))  # compile + warm
+        float(run(jnp.float32(0), *extra))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(jnp.float32(0)))
+            float(run(jnp.float32(0), *extra))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -90,14 +93,28 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
 
     backend = dispatch.resolve("auto", len(grid), grid, n_points)
     args = _args_for(n_points, batch, grid, n_in)
-    g = jax.random.normal(jax.random.PRNGKey(7), (batch,) + tuple(grid),
-                          jnp.float32)
+    voxels = batch
+    for s in grid:
+        voxels *= s
+    if voxels <= 2 ** 27:
+        g = jax.random.normal(jax.random.PRNGKey(7), (batch,) + tuple(grid),
+                              jnp.float32)
+    else:
+        # device-resident outer-product cotangent: threefry at >1e9
+        # elements stalls the remote compiler, and a host transfer at
+        # gigabyte sizes cannot cross the tunnel
+        plane = jax.random.normal(jax.random.PRNGKey(7),
+                                  (batch,) + tuple(grid[:-1]), jnp.float32)
+        g = jax.jit(lambda p: p[..., None]
+                    * jnp.ones((grid[-1],), jnp.float32) * 0.1)(plane)
+    g.block_until_ready()
 
     pts, rot, tr, bg, ow, pw = args
     fwd = lambda c: dispatch.fwd_fn(backend)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0]
-    bwd = lambda c: dispatch.bwd_fn(backend)(
-        grid, pts, rot, tr + c * 1e-30, bg, ow, pw, g).translation.ravel()[0]
+    bwd = lambda c, gg: dispatch.bwd_fn(backend)(
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
+        gg).translation.ravel()[0]
     rec = {"config": name, "backend": backend}
     splats = n_points * batch * 2 ** len(grid)
     # report partially: a compile failure in one direction (e.g. the dev
@@ -109,7 +126,7 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
         t_fwd = None
         rec["fwd_error"] = str(e)[:120]
     try:
-        t_bwd = _per_iter(bwd)
+        t_bwd = _per_iter(bwd, g)
         rec["t_bwd_ms"] = round(t_bwd * 1e3, 3)
     except Exception as e:
         t_bwd = None

@@ -117,10 +117,11 @@ def supported(n_out: int, grid_size=None, n_points=None) -> bool:
         return False
     # Slot-frame padding is ~nt*chunk inert rows; when that dwarfs the
     # real rows the scatter oracle (whose cost scales with splats, not
-    # voxels) wins — measured on v5e at 10^5 points: 512^3 binned bwd
-    # 99 ms vs oracle ~21 ms at 1024^3, while 128^3 (nt*chunk ~= 0.65P)
-    # stays 2.4x faster on binned.
-    if n_points is not None and nt * 512 > 2 * max(n_points, 1024):
+    # voxels) wins.  Measured on v5e at 10^5 points: 512^3 binned bwd
+    # 99 ms vs the oracle's ~21 ms at 1024^3 (padding 10x the points),
+    # while 1024^2 at 10^4 points (padding 3.3x) is still ~2x faster on
+    # binned than the oracle's 34/36 ms.
+    if n_points is not None and nt * 512 > 8 * max(n_points, 1024):
         return False
     return True
 
