@@ -1,0 +1,197 @@
+"""Stage-by-stage timing of the binned backend on the real TPU.
+
+Each stage is timed with the chained-iteration trick (see bench.py): the
+stage's inputs are precomputed once, a tiny data-dependent perturbation
+chains the iterations, and two K values are linear-fitted.
+
+Usage: python benchmarks/profile_binned.py [--grid 1024,1024] [--points N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from dprast.ops import splat_binned
+from dprast.ops.splat_binned import (_default_chunk, _fold, _unfold,
+                                     _keys_and_local, _prep_binned,
+                                     n_tiles, tile_shape_for)
+
+
+def per_iter(step, args, k1=2, k2=6):
+    def chained(k):
+        @jax.jit
+        def run(c0, *a):
+            return lax.fori_loop(0, k, lambda i, c: step(c, *a), c0)
+
+        float(run(jnp.float32(0), *args))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(jnp.float32(0), *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((chained(k2) - chained(k1)) / (k2 - k1), 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", default="1024,1024")
+    ap.add_argument("--points", type=int, default=100_000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=0)
+    args = ap.parse_args()
+    grid = tuple(int(x) for x in args.grid.split(","))
+    n_out = len(grid)
+    p, b = args.points, args.batch
+    chunk = args.chunk or _default_chunk(grid)
+    ts = tile_shape_for(grid)
+    nt = n_tiles(grid, ts)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    pts = jax.random.normal(ks[0], (p, 3), jnp.float32) * 0.4
+    rot = jnp.tile(jnp.eye(3)[:n_out][None], (b, 1, 1))
+    tr = jax.random.normal(ks[1], (b, n_out), jnp.float32) * 0.1
+    bg = jnp.zeros((b,), jnp.float32)
+    ow = jnp.ones((b,), jnp.float32)
+    pw = jax.random.uniform(ks[2], (p,), jnp.float32, 0.5, 2.0)
+
+    fills = [0.0] * n_out + [0.0, float(p)]
+
+    def prep(tr_):
+        key, locs, _ = _keys_and_local(grid, ts, pts, rot, tr_)
+        w = pw[None, :] * ow[:, None]
+        ptidx = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.float32)[None, :], key.shape)
+        return jax.vmap(
+            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
+                                         True)
+        )(key, *locs, w, ptidx)
+
+    data, slot_tile = jax.jit(prep)(tr)
+    data.block_until_ready()
+    s_pad = data.shape[-1]
+    print(f"grid={grid} ts={ts} nt={nt} chunk={chunk} "
+          f"s_pad={s_pad} n_slots={s_pad // chunk} batch={b}", flush=True)
+
+    t = per_iter(lambda c: prep(tr + c * 1e-30)[0].ravel()[0], ())
+    print(f"prep (keys+sort)      {t*1e3:8.2f} ms", flush=True)
+
+    t = per_iter(lambda c, pts_: _keys_and_local(
+        grid, ts, pts_, rot, tr)[1][0].ravel()[0], (pts,))
+    print(f"  keys only           {t*1e3:8.2f} ms", flush=True)
+
+    # forward kernel + fold, separately
+    from dprast.ops.splat_binned import _fwd_kernel, _out_struct, \
+        _single_tile
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    halo = not _single_tile(grid)
+    if n_out == 2:
+        rows_e = ts[0] + (1 if halo else 0)
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+    cols_e = ts[-1] + (1 if halo else 0)
+    n_slots = s_pad // chunk
+
+    def fwd_kernel(data_, st_):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_slots),
+            in_specs=[pl.BlockSpec((1, n_out + 1, chunk),
+                                   lambda bb, s, st: (bb, 0, s),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, rows_e, cols_e),
+                                   lambda bb, s, st: (bb, st[bb, s], 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
+                              n_out=n_out),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
+                                           jnp.float32),
+            interpret=False,
+        )(st_, data_)
+
+    data_fw = data[:, :n_out + 1]
+    t = per_iter(lambda c, d, st_: fwd_kernel(
+        d + c * 1e-30, st_).ravel()[0], (data_fw, slot_tile))
+    print(f"fwd kernel            {t*1e3:8.2f} ms", flush=True)
+
+    ext = jax.jit(fwd_kernel)(data_fw, slot_tile)
+    ext.block_until_ready()
+    t = per_iter(lambda c, e: _fold(
+        e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))
+    print(f"fold                  {t*1e3:8.2f} ms", flush=True)
+
+    # backward stages
+    g = jax.random.normal(ks[3], (b,) + grid, jnp.float32)
+    t = per_iter(lambda c, g_: _unfold(
+        g_ + c * 1e-30, grid, ts).ravel()[0], (g,))
+    print(f"unfold                {t*1e3:8.2f} ms", flush=True)
+
+    from dprast.ops.splat_binned import _bwd_kernel
+    g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts))(g)
+    g_ext.block_until_ready()
+
+    def bwd_kernel(coord_, g_ext_, st_):
+        g_spec = pl.BlockSpec((1, 1, rows_e, cols_e),
+                              lambda bb, s, st: (bb, st[bb, s], 0, 0),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_slots),
+            in_specs=[pl.BlockSpec((1, n_out, chunk),
+                                   lambda bb, s, st: (bb, 0, s),
+                                   memory_space=pltpu.VMEM), g_spec],
+            out_specs=pl.BlockSpec((1, n_out + 1, chunk),
+                                   lambda bb, s, st: (bb, 0, s),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
+                              n_out=n_out),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n_out + 1, s_pad),
+                                           jnp.float32),
+            interpret=False,
+        )(st_, coord_, g_ext_)
+
+    coord = data[:, :n_out]
+    t = per_iter(lambda c, cd, ge, st_: bwd_kernel(
+        cd + c * 1e-30, ge, st_).ravel()[0], (coord, g_ext, slot_tile))
+    print(f"bwd kernel            {t*1e3:8.2f} ms", flush=True)
+
+    buf = jax.jit(bwd_kernel)(coord, g_ext, slot_tile)
+    buf.block_until_ready()
+    idx_rows = data[:, n_out + 1]
+
+    def unsort(c, buf_, idx_):
+        def one(idx, du, gwr):
+            ops = lax.sort((idx,) + tuple(du[i] for i in range(n_out))
+                           + (gwr,), dimension=0, num_keys=1)
+            return jnp.stack(ops[1:1 + n_out], 0)[:, :p], ops[-1][:p]
+
+        du_pt, gw_pt = jax.vmap(one)(idx_ + c * 1e-30, buf_[:, :n_out],
+                                     buf_[:, n_out])
+        return du_pt.ravel()[0] + gw_pt.ravel()[0]
+
+    t = per_iter(unsort, (buf, idx_rows))
+    print(f"bwd unsort            {t*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,18 +18,31 @@ there are no atomics, so conflicts are eliminated structurally:
   straight-line: all I/O is pipelined block I/O, no manual DMA, no
   run-tables — the structural properties that make Mosaic compilation
   robust and let the pipeline double-buffer automatically.
-- **Forward**: one instance per (pose, slot) accumulates into a VMEM
-  tile extended by a +1-voxel halo (rows +8 / cols +128 for alignment);
-  consecutive slots of the same tile revisit the same output block.
-  Cross-tile straddle lands in the halo and is folded back with dense
-  shifted adds afterwards — the scatter-free replacement for atomics.
-- **Backward**: pure gather.  Each instance reads its tile's cotangent
-  block plus its 3 (2D) / 7 (3D) halo neighbours, selects per-point
-  stencil values with an exact one-hot matmul, and writes raw per-row
-  gradients ``(du_axis..., gw)``.  All pose-gradient contractions
-  (translation/rotation/weight sums, the Rᵀ rotation of point gradients,
-  the ptidx unsort) happen OUTSIDE the kernel in XLA — the kernel stays
-  minimal, which is both faster and compile-robust.
+- **MXU-quantised tiles**: body tiles are sized so the +1-voxel splat
+  halo lands EXACTLY on the MXU/VREG quanta — 2D body 127x127 extends to
+  a 128x128 window, 3D body 7x15x127 extends to (8,16,128) = 128 rows x
+  128 lanes flattened.  (The first-generation layout extended 128-wide
+  tiles by a full 8-row / 128-lane alignment block, so every kernel
+  matmul padded to 256 lanes x 256 contraction rows — 2-4x the MXU work
+  for the same splats.)  A body tile need not divide the grid: the grid
+  is virtually padded to ``ceil(g/t)*t + 1`` per axis, which lifts the
+  old tile-alignment restriction — ANY 2D/3D grid is supported (bounded
+  only by the tile count / padding-ratio dispatch rules).
+- **Forward**: one instance per (pose, slot) accumulates into its tile's
+  extended 128x128 VMEM window; consecutive slots of the same tile
+  revisit the same output block.  ``_fold`` then sums the overlapping
+  windows into the dense grid with one strided ``lax.pad`` add per axis
+  (separable, zero gathers) — the scatter-free replacement for atomics.
+- **Backward**: pure gather.  ``_unfold`` extracts the per-tile extended
+  cotangent windows (the exact adjoint of ``_fold``, strided slices);
+  each instance reads ONE (128, 128) window, selects per-point stencil
+  values with an exact one-hot matmul, and writes raw per-row gradients
+  ``(du_axis..., gw)``.  Out-of-grid neighbours read the zero padding —
+  the reference's OOB-drop semantics with no validity masks at all.  All
+  pose-gradient contractions (translation/rotation/weight sums, the Rᵀ
+  rotation of point gradients, the ptidx unsort) happen OUTSIDE the
+  kernel in XLA — the kernel stays minimal, which is both faster and
+  compile-robust.
 - **Precision**: coordinates come from the compensated double-f32
   pipeline (`geometry.grid_coords_2f`) and are stored tile-local as
   31-bit fixed point (uniform 2^-23 resolution at any grid size);
@@ -65,62 +78,41 @@ _SPLIT_TERMS = 2
 
 
 def tile_shape_for(grid_size):
-    """Per-axis tile shape.  2D: up to 128x128 (a small grid is a single
-    tile).  3D: a (tz, ty) plane tile of at most 128 flattened rows times a
-    lane tile of x."""
+    """Per-axis BODY tile shape; the kernel window is body + 1 halo voxel
+    per axis.  Sizes are chosen so the window sits exactly on the MXU
+    quanta: 2D (127, 127) -> 128x128; 3D (7, 15, 127) -> (8*16, 128)
+    flattened rows x lanes.  A small 2D grid (both axes <= 128) is a
+    single halo-free tile (no binning, no padding)."""
     if len(grid_size) == 2:
         gy, gx = grid_size
-        return (min(gy, TILE), min(gx, TILE))
-    gz, gy, gx = grid_size
-    tz = 8 if gz % 8 == 0 else gz
-    ty = min(max(1, 128 // max(tz, 1)), gy)
-    while gy % ty:
-        ty -= 1
-    tx = min(gx, 1024)
-    while gx % tx:
-        tx -= 128 if tx > 128 else 1
-    return (tz, ty, tx)
+        if gy <= TILE and gx <= TILE:
+            return (gy, gx)
+        return (TILE - 1, TILE - 1)
+    return (7, 15, TILE - 1)
 
 
 def n_tiles(grid_size, ts=None):
     ts = ts or tile_shape_for(grid_size)
-    return math.prod(g // t for g, t in zip(grid_size, ts))
+    return math.prod(-(-g // t) for g, t in zip(grid_size, ts))
 
 
 def supported(n_out: int, grid_size=None, n_points=None) -> bool:
-    """Tile-aligned 2D/3D grids.  With `n_points` given, also requires the
-    slot frame's padding not to dwarf the real work (very sparse volumes
-    like 10^5 points into 1024^3 stay on the scatter oracle)."""
+    """Any 2D/3D grid, bounded by the tile count (huge grids) and — with
+    `n_points` given — by the slot frame's padding not dwarfing the real
+    work (very sparse volumes like 10^5 points into 1024^3 stay on the
+    scatter oracle, whose cost scales with splats, not voxels)."""
     if n_out not in (2, 3):
         return False
     if grid_size is None:
         return True
-    ts = tile_shape_for(grid_size)
-    if any(g % t for g, t in zip(grid_size, ts)):
+    if any(g < 1 for g in grid_size):
         return False
-    if n_out == 2:
-        # multi-tile 2D needs 128-aligned axes for the halo block windows;
-        # a single tile (both axes <= 128) needs no halo at all
-        single = grid_size[0] <= TILE and grid_size[1] <= TILE
-        if not single and any(g % 128 for g in grid_size):
-            return False
-    else:
-        if ts[0] * ts[1] > 128:
-            return False
-        # halo windows: x is a 128-lane block, y an 8-row block
-        if grid_size[2] < 128 or grid_size[2] % 128:
-            return False
-        if ts[1] % 8:
-            return False
-    nt = n_tiles(grid_size, ts)
+    nt = n_tiles(grid_size)
     if nt > 4096:
         return False
-    # Slot-frame padding is ~nt*chunk inert rows; when that dwarfs the
-    # real rows the scatter oracle (whose cost scales with splats, not
-    # voxels) wins.  Measured on v5e at 10^5 points: 512^3 binned bwd
-    # 99 ms vs the oracle's ~21 ms at 1024^3 (padding 10x the points),
-    # while 1024^2 at 10^4 points (padding 3.3x) is still ~2x faster on
-    # binned than the oracle's 34/36 ms.
+    # Slot-frame padding is ~nt*chunk inert rows; measured on v5e at 10^5
+    # points: 512^3 binned bwd lost to the oracle at ~10x padding, while
+    # 1024^2 at 10^4 points (~4x padding) stays ~2x ahead of the oracle.
     if n_points is not None and nt * 512 > 8 * max(n_points, 1024):
         return False
     return True
@@ -179,7 +171,7 @@ def _keys_and_local(grid_size, ts, points, rotation, translation):
     one-hot never matches.
     """
     n = len(grid_size)
-    nts = [g // t for g, t in zip(grid_size, ts)]
+    nts = [-(-g // t) for g, t in zip(grid_size, ts)]
     nt = math.prod(nts)
     u_hi, u_lo = geometry.grid_coords_2f(points, rotation, translation,
                                          grid_size)
@@ -372,10 +364,10 @@ def _fwd_kernel(st_ref, data_ref, ext_ref, *, ts, chunk, halo, n_out):
 
     cols = data_ref[0].T                                  # (C, planes)
     tx = ts[-1]
-    cols_e = tx + (128 if halo else 0)
+    cols_e = tx + (1 if halo else 0)
     if n_out == 2:
         ty = ts[0]
-        rows_e = ty + (8 if halo else 0)
+        rows_e = ty + (1 if halo else 0)
         iy0, dly = _decode_coord(cols[:, 0:1])
         o_rows = _row_targets_2d(iy0, rows_e, chunk, rows_first=True)
         w = cols[:, 2:3]
@@ -405,47 +397,72 @@ def _fwd_kernel(st_ref, data_ref, ext_ref, *, ts, chunk, halo, n_out):
 
 
 def _fold(ext, grid_size, ts, halo):
-    """Fold halo contributions into the dense output grid with shifted
-    adds (the scatter-free completion of the forward).  ext:
-    (B, nt, rows_e, cols_e) -> (B, *grid_size)."""
+    """Sum the per-tile extended windows back into the dense grid (the
+    scatter-free completion of the forward).  ext (B, nt, rows_e, cols_e)
+    -> (B, *grid_size).
+
+    Separable: per axis, the window bodies tile ``ceil(g/t)*t`` positions
+    contiguously (a reshape) and the +1 halo slivers land at positions
+    ``t, 2t, ...`` — exactly one strided interior `lax.pad` per axis.
+    Positions past the real grid (the virtual padding and the last tile's
+    halo) are sliced off at the end == reference OOB-drop semantics."""
     n = len(grid_size)
     b = ext.shape[0]
-    nts = [g // t for g, t in zip(grid_size, ts)]
+    nts = [-(-g // t) for g, t in zip(grid_size, ts)]
     if not halo:
         return ext.reshape((b,) + tuple(grid_size))
-    if n == 2:
-        sub = (ts[0] + 1, ts[1] + 128)
-        ext = ext[:, :, :ts[0] + 1, :]                   # drop align rows
-    else:
-        sub = (ts[0] + 1, ts[1] + 1, ts[2] + 128)
-    ext = ext.reshape((b,) + tuple(nts) + sub)
-    out = jnp.zeros((b,) + tuple(grid_size), ext.dtype)
-    for mask in range(2 ** n):
-        d = [(mask >> (n - 1 - i)) & 1 for i in range(n)]
-        piece = ext
-        # subtile slices: own body or the +1/+128 halo sliver per axis
-        for i in range(n):
-            ax = 1 + n + i
-            width = 128 if i == n - 1 else 1
-            sl = (slice(ts[i], ts[i] + width) if d[i]
-                  else slice(0, ts[i]))
-            piece = lax.slice_in_dim(piece, sl.start, sl.stop, axis=ax)
-            if d[i]:
-                # halo targets the NEXT tile: drop the edge tile (its halo
-                # is out of grid => reference drop semantics) and shift
-                piece = lax.slice_in_dim(piece, 0, nts[i] - 1, axis=1 + i)
-                pad = [(0, 0)] * piece.ndim
-                pad[1 + i] = (1, 0)
-                pad[ax] = (0, ts[i] - width)
-                piece = jnp.pad(piece, pad)
-        # interleave (tile, subtile) axes and flatten to the dense grid
-        perm = [0]
-        for i in range(n):
-            perm += [1 + i, 1 + n + i]
-        piece = piece.transpose(perm).reshape(
-            (b,) + tuple(grid_size))
-        out = out + piece
-    return out
+    shape = (b,) + tuple(nts) + tuple(t + 1 for t in ts)
+    x = ext.reshape(shape)
+    perm = [0]
+    for i in range(n):
+        perm += [1 + i, 1 + n + i]
+    x = x.transpose(perm)          # (B, m0, t0+1, m1, t1+1, ...)
+    for i in range(n):
+        # axes before i are already merged: m_i sits at axis 1 + i
+        ax = 1 + i
+        t, m = ts[i], nts[i]
+        zero = jnp.array(0, x.dtype)
+        body = lax.slice_in_dim(x, 0, t, axis=ax + 1)
+        ns = body.shape[:ax] + (m * t,) + body.shape[ax + 2:]
+        body = body.reshape(ns)
+        cfg = [(0, 0, 0)] * len(ns)
+        cfg[ax] = (0, 1, 0)
+        body = lax.pad(body, zero, cfg)                # (.., m*t + 1, ..)
+        halo_s = lax.slice_in_dim(x, t, t + 1, axis=ax + 1)
+        halo_s = halo_s.reshape(ns[:ax] + (m,) + ns[ax + 1:])
+        cfg[ax] = (t, 0, t - 1)                        # -> positions k*t
+        halo_s = lax.pad(halo_s, zero, cfg)
+        x = body + halo_s
+    for i in range(n):
+        x = lax.slice_in_dim(x, 0, grid_size[i], axis=1 + i)
+    return x
+
+
+def _unfold(x, grid_size, ts):
+    """Extract the per-tile extended cotangent windows — the exact adjoint
+    of :func:`_fold`.  x (B, *grid) -> (B, nt, rows_e, cols_e) with
+    ``window[t] = x_pad[t*ts : t*ts + ts + 1]`` per axis (zero padding
+    outside the grid: out-of-grid stencil neighbours gather 0)."""
+    n = len(grid_size)
+    b = x.shape[0]
+    nts = [-(-g // t) for g, t in zip(grid_size, ts)]
+    pad = [(0, 0)] + [(0, nts[i] * ts[i] + 1 - grid_size[i])
+                      for i in range(n)]
+    xp = jnp.pad(x, pad)
+    for i in range(n):
+        ax = 1 + 2 * i             # spatial axis i's current position
+        t, m = ts[i], nts[i]
+        body = lax.slice_in_dim(xp, 0, m * t, axis=ax)
+        body = body.reshape(body.shape[:ax] + (m, t) + body.shape[ax + 1:])
+        halo_s = lax.slice_in_dim(xp, t, m * t + 1, stride=t, axis=ax)
+        halo_s = halo_s.reshape(halo_s.shape[:ax] + (m, 1)
+                                + halo_s.shape[ax + 1:])
+        xp = jnp.concatenate([body, halo_s], axis=ax + 1)
+    perm = ([0] + [1 + 2 * i for i in range(n)]
+            + [2 + 2 * i for i in range(n)])
+    xp = xp.transpose(perm)        # (B, m0.., t0+1..)
+    rows = math.prod(t + 1 for t in ts[:-1])
+    return xp.reshape(b, math.prod(nts), rows, ts[-1] + 1)
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
@@ -516,10 +533,10 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
     if n_out == 2:
-        rows_e = ts[0] + (8 if halo else 0)
+        rows_e = ts[0] + (1 if halo else 0)
     else:
-        rows_e = (ts[0] + 1) * (ts[1] + 1) if halo else ts[0] * ts[1]
-    cols_e = ts[-1] + (128 if halo else 0)
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+    cols_e = ts[-1] + (1 if halo else 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -557,59 +574,26 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(st_ref, data_ref, *refs, ts, chunk, halo, n_out, nts):
-    if halo:
-        g_refs = refs[:2 ** n_out]
-        buf_ref = refs[2 ** n_out]
-    else:
-        g_refs = refs[:1]
-        buf_ref = refs[1]
-    b = pl.program_id(0)
-    s = pl.program_id(1)
-    t = st_ref[b, s]
-    f32 = jnp.float32
+def _bwd_kernel(st_ref, data_ref, g_ref, buf_ref, *, ts, chunk, halo,
+                n_out):
     tx = ts[-1]
-    cols_e = tx + (128 if halo else 0)
+    cols_e = tx + (1 if halo else 0)
 
-    # assemble the extended cotangent block; clamped duplicate neighbours
-    # at the grid edge are zeroed by validity (== reference OOB drop)
-    if n_out == 2:
-        ty = ts[0]
-        rows_e = ty + (8 if halo else 0)
-        if halo:
-            tiy = t // nts[1]
-            tix = t % nts[1]
-            vy = (tiy + 1 < nts[0]).astype(f32)
-            vx = (tix + 1 < nts[1]).astype(f32)
-            top = jnp.concatenate([g_refs[0][0], g_refs[1][0] * vx], axis=1)
-            bot = jnp.concatenate([g_refs[2][0] * vy,
-                                   g_refs[3][0] * (vy * vx)], axis=1)
-            g = jnp.concatenate([top, bot], axis=0)       # (ty+8, tx+128)
+    # the extended cotangent window: pre-unfolded outside the kernel
+    # (halo path; zero-padded past the grid == reference OOB drop) or the
+    # single tile's own block (halo-free path)
+    if halo:
+        g = g_ref[0, 0]                                   # (rows_e, cols_e)
+        if n_out == 2:
+            ty = ts[0]
+            rows_e = ty + 1
         else:
-            g = g_refs[0][0]
+            tz, ty = ts[0], ts[1]
+            rows_e = (tz + 1) * (ty + 1)
     else:
-        tz, ty = ts[0], ts[1]
-        rows_e = (tz + 1) * (ty + 1)
-        ntz, nty, ntx = nts
-        tiz = t // (nty * ntx)
-        tiy = (t // ntx) % nty
-        tix = t % ntx
-        vz = (tiz + 1 < ntz).astype(f32)
-        vy = (tiy + 1 < nty).astype(f32)
-        vx = (tix + 1 < ntx).astype(f32)
-        # 8 blocks -> (tz+1, ty+1, tx+128), then flatten (z, y) rows
-        own = jnp.concatenate([g_refs[0][0], g_refs[1][0] * vx], axis=2)
-        # y-halo blocks carry 8 rows for tiling legality; row 0 is the halo
-        yp = jnp.concatenate([g_refs[2][0][:, 0:1] * vy,
-                              g_refs[3][0][:, 0:1] * (vy * vx)], axis=2)
-        body = jnp.concatenate([own, yp], axis=1)         # (tz, ty+1, :)
-        zo = jnp.concatenate([g_refs[4][0] * vz,
-                              g_refs[5][0] * (vz * vx)], axis=2)
-        zy = jnp.concatenate([g_refs[6][0][:, 0:1] * (vz * vy),
-                              g_refs[7][0][:, 0:1] * (vz * vy * vx)],
-                             axis=2)
-        zcap = jnp.concatenate([zo, zy], axis=1)          # (1, ty+1, :)
-        g = jnp.concatenate([body, zcap], axis=0).reshape(rows_e, cols_e)
+        ty = ts[0]
+        rows_e = ty
+        g = g_ref[0]
 
     cols = data_ref[0].T                                  # (C, n_out)
     if n_out == 2:
@@ -707,7 +691,6 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     if interpret is None:
         interpret = _interpret_default()
     ts = tile_shape_for(grid_size)
-    nts = tuple(g // t for g, t in zip(grid_size, ts))
     halo = not _single_tile(grid_size)
     bsz = rotation.shape[0]
     p, n_in = points.shape
@@ -717,74 +700,25 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     n_slots = s_pad // chunk
 
     if n_out == 2:
-        rows_e = ts[0] + (8 if halo else 0)
+        rows_e = ts[0] + (1 if halo else 0)
     else:
         rows_e = (ts[0] + 1) * (ts[1] + 1)
-    cols_e = ts[-1] + (128 if halo else 0)
+    cols_e = ts[-1] + (1 if halo else 0)
 
-    # cotangent neighbour blocks: own body + halo slivers (8-row / 128-col
-    # aligned), clamped at the grid edge — the kernel zeroes the clamped
-    # duplicates via validity, reproducing the reference OOB drop.  Index
-    # units differ per spec: each axis index is in units of that spec's own
-    # block extent.
-    g_specs = []
-    if halo and n_out == 2:
-        ty, tx = ts
-        nty, ntx = nts
-
-        def mk2(dy, dx):
-            shape = (1, 8 if dy else ty, 128 if dx else tx)
-
-            def imap(b, s, st, dy=dy, dx=dx):
-                t = st[b, s]
-                tiy = t // ntx
-                tix = t % ntx
-                iy = (jnp.minimum((tiy + 1) * (ty // 8),
-                                  grid_size[0] // 8 - 1) if dy else tiy)
-                ix = (jnp.minimum((tix + 1) * (tx // 128),
-                                  grid_size[1] // 128 - 1) if dx else tix)
-                return (b, iy, ix)
-
-            return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
-
-        g_specs = [mk2(dy, dx) for dy in (0, 1) for dx in (0, 1)]
-        g_inputs = [g_cot] * 4
-    elif halo:
-        tz, ty, tx = ts
-        ntz, nty, ntx = nts
-
-        def mk3(dz, dy, dx):
-            # TPU blocks need the second-minor extent divisible by 8: the
-            # y-halo slivers read 8 rows (kernel uses row 0 only)
-            shape = (1, 1 if dz else tz, 8 if dy else ty,
-                     128 if dx else tx)
-
-            def imap(b, s, st, dz=dz, dy=dy, dx=dx):
-                t = st[b, s]
-                tiz = t // (nty * ntx)
-                tiy = (t // ntx) % nty
-                tix = t % ntx
-                # per-axis index in units of this spec's block extent
-                iz = (jnp.minimum((tiz + 1) * tz, grid_size[0] - 1)
-                      if dz else tiz)
-                iy = (jnp.minimum((tiy + 1) * (ty // 8),
-                                  grid_size[1] // 8 - 1)
-                      if dy else tiy)
-                ix = (jnp.minimum((tix + 1) * (tx // 128),
-                                  grid_size[2] // 128 - 1)
-                      if dx else tix)
-                return (b, iz, iy, ix)
-
-            return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
-
-        g_specs = [mk3(dz, dy, dx) for dz in (0, 1) for dy in (0, 1)
-                   for dx in (0, 1)]
-        g_inputs = [g_cot] * 8
+    # the extended cotangent windows, extracted ONCE in XLA: each kernel
+    # instance then reads a single (rows_e, cols_e) block by slot->tile
+    # index — out-of-grid neighbours see the zero padding (the reference
+    # OOB-drop semantics, no validity masks)
+    if halo:
+        g_in = _unfold(g_cot, grid_size, ts)     # (B, nt, rows_e, cols_e)
+        g_spec = pl.BlockSpec((1, 1, rows_e, cols_e),
+                              lambda b, s, st: (b, st[b, s], 0, 0),
+                              memory_space=pltpu.VMEM)
     else:
-        g_specs = [pl.BlockSpec((1,) + tuple(ts),
-                                lambda b, s, st: (b, 0, 0),
-                                memory_space=pltpu.VMEM)]
-        g_inputs = [g_cot]
+        g_in = g_cot
+        g_spec = pl.BlockSpec((1,) + tuple(ts),
+                              lambda b, s, st: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -792,19 +726,20 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
         in_specs=[
             pl.BlockSpec((1, n_out, chunk), lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
-        ] + g_specs,
+            g_spec,
+        ],
         out_specs=pl.BlockSpec((1, n_out + 1, chunk),
                                lambda b, s, st: (b, 0, s),
                                memory_space=pltpu.VMEM),
     )
     buf = pl.pallas_call(
         functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
-                          n_out=n_out, nts=nts),
+                          n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, n_out + 1, s_pad), f32, slot_tile,
-                              coord, *g_inputs),
+                              coord, g_in),
         interpret=interpret,
-    )(slot_tile, coord, *g_inputs)
+    )(slot_tile, coord, g_in)
 
     # ---- everything below is plain XLA on the raw per-row gradients ----
     # unsort the raw kernel rows by point id FIRST (the single sort is the

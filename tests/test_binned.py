@@ -83,10 +83,16 @@ def test_supported_rules():
     assert splat_binned.supported(2, (128, 128))
     assert splat_binned.supported(2, (1024, 1024))
     assert splat_binned.supported(3, (128, 128, 128))
-    assert not splat_binned.supported(2, (200, 200))      # not tileable
-    assert not splat_binned.supported(2, (256, 64))       # halo needs 128
-    assert not splat_binned.supported(3, (64, 64, 64))    # x halo needs 128
-    assert not splat_binned.supported(3, (130, 128, 128))
+    # the ext-128 redesign lifts the old tile-alignment restrictions:
+    # any 2D/3D grid works (virtual padding to ceil(g/127)*127 + 1)
+    assert splat_binned.supported(2, (200, 200))
+    assert splat_binned.supported(2, (256, 64))
+    assert splat_binned.supported(3, (64, 64, 64))
+    assert splat_binned.supported(3, (130, 128, 128))
+    assert not splat_binned.supported(1, (128,))
+    assert not splat_binned.supported(4, (16, 16, 16, 16))
+    # tile-count bound: huge grids stay off this backend entirely
+    assert not splat_binned.supported(2, (10_000, 10_000))
     # sparse-volume guard: 1024^3 with 1e5 points stays off this backend
     assert not splat_binned.supported(3, (1024, 1024, 1024), 100_000)
     assert "binned" in dispatch.available_backends()
@@ -104,10 +110,11 @@ def test_golden_through_api():
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=4e-6)
 
 
-def test_resolve_untileable_3d_falls_back():
-    # tz = gz > 128 with gy underflow must cleanly resolve to a fallback
-    # backend, never crash (ADVICE r1 regression)
-    assert dispatch.resolve("auto", 3, (130, 128, 128)) in ("xla", "matmul")
+def test_resolve_unaligned_3d():
+    # once a crash path (ADVICE r1: tile-shape underflow); the ext-128
+    # design now simply supports unaligned volumes on the binned backend
+    assert dispatch.resolve("auto", 3, (130, 128, 128)) in (
+        "binned", "xla", "matmul")
 
 
 def test_fused_vjp_matches_standalone_pullback():
