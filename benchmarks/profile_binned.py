@@ -94,7 +94,7 @@ def main():
 
     # forward kernel + fold, separately
     from dprast.ops.splat_binned import _fwd_kernel, _out_struct, \
-        _single_tile
+        _single_tile, _planes_fwd, _planes_bwd
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -106,12 +106,25 @@ def main():
     cols_e = ts[-1] + (1 if halo else 0)
     n_slots = s_pad // chunk
 
-    def fwd_kernel(data_, st_):
+    lane, sub, subv = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
+        data[:, :n_out + 1])
+    lane.block_until_ready()
+    t = per_iter(lambda c, d: _planes_fwd(
+        d + c * 1e-30, ts, n_out)[1].ravel()[0], (data[:, :n_out + 1],))
+    print(f"fwd planes            {t*1e3:8.2f} ms", flush=True)
+
+    def fwd_kernel(lane_, sub_, subv_, st_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),
-            in_specs=[pl.BlockSpec((1, n_out + 1, chunk),
+            in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
                                    lambda bb, s, st: (bb, 0, s),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, chunk, sub_.shape[-1]),
+                                   lambda bb, s, st: (bb, s, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, chunk, subv_.shape[-1]),
+                                   lambda bb, s, st: (bb, s, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, rows_e, cols_e),
                                    lambda bb, s, st: (bb, st[bb, s], 0, 0),
@@ -124,14 +137,14 @@ def main():
             out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
                                            jnp.float32),
             interpret=False,
-        )(st_, data_)
+        )(st_, lane_, sub_, subv_)
 
-    data_fw = data[:, :n_out + 1]
-    t = per_iter(lambda c, d, st_: fwd_kernel(
-        d + c * 1e-30, st_).ravel()[0], (data_fw, slot_tile))
+    t = per_iter(lambda c, l_, su, sv, st_: fwd_kernel(
+        l_ + c * 1e-30, su, sv, st_).ravel()[0],
+        (lane, sub, subv, slot_tile))
     print(f"fwd kernel            {t*1e3:8.2f} ms", flush=True)
 
-    ext = jax.jit(fwd_kernel)(data_fw, slot_tile)
+    ext = jax.jit(fwd_kernel)(lane, sub, subv, slot_tile)
     ext.block_until_ready()
     t = per_iter(lambda c, e: _fold(
         e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))
@@ -140,21 +153,28 @@ def main():
     # backward stages
     g = jax.random.normal(ks[3], (b,) + grid, jnp.float32)
     t = per_iter(lambda c, g_: _unfold(
-        g_ + c * 1e-30, grid, ts).ravel()[0], (g,))
-    print(f"unfold                {t*1e3:8.2f} ms", flush=True)
+        g_ + c * 1e-30, grid, ts, transposed=True).ravel()[0], (g,))
+    print(f"unfold^T              {t*1e3:8.2f} ms", flush=True)
 
     from dprast.ops.splat_binned import _bwd_kernel
-    g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts))(g)
+    g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts, transposed=True))(g)
     g_ext.block_until_ready()
 
-    def bwd_kernel(coord_, g_ext_, st_):
-        g_spec = pl.BlockSpec((1, 1, rows_e, cols_e),
+    coord = data[:, :n_out]
+    lane_b = jax.jit(lambda cd: _planes_bwd(cd, ts, n_out))(coord)
+    lane_b.block_until_ready()
+    t = per_iter(lambda c, cd: _planes_bwd(
+        cd + c * 1e-30, ts, n_out).ravel()[0], (coord,))
+    print(f"bwd planes            {t*1e3:8.2f} ms", flush=True)
+
+    def bwd_kernel(lane_, g_ext_, st_):
+        g_spec = pl.BlockSpec((1, 1, cols_e, rows_e),
                               lambda bb, s, st: (bb, st[bb, s], 0, 0),
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),
-            in_specs=[pl.BlockSpec((1, n_out, chunk),
+            in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
                                    lambda bb, s, st: (bb, 0, s),
                                    memory_space=pltpu.VMEM), g_spec],
             out_specs=pl.BlockSpec((1, n_out + 1, chunk),
@@ -168,26 +188,21 @@ def main():
             out_shape=jax.ShapeDtypeStruct((b, n_out + 1, s_pad),
                                            jnp.float32),
             interpret=False,
-        )(st_, coord_, g_ext_)
+        )(st_, lane_, g_ext_)
 
-    coord = data[:, :n_out]
-    t = per_iter(lambda c, cd, ge, st_: bwd_kernel(
-        cd + c * 1e-30, ge, st_).ravel()[0], (coord, g_ext, slot_tile))
+    t = per_iter(lambda c, la, ge, st_: bwd_kernel(
+        la + c * 1e-30, ge, st_).ravel()[0], (lane_b, g_ext, slot_tile))
     print(f"bwd kernel            {t*1e3:8.2f} ms", flush=True)
 
-    buf = jax.jit(bwd_kernel)(coord, g_ext, slot_tile)
+    buf = jax.jit(bwd_kernel)(lane_b, g_ext, slot_tile)
     buf.block_until_ready()
     idx_rows = data[:, n_out + 1]
 
     def unsort(c, buf_, idx_):
-        def one(idx, du, gwr):
-            ops = lax.sort((idx,) + tuple(du[i] for i in range(n_out))
-                           + (gwr,), dimension=0, num_keys=1)
-            return jnp.stack(ops[1:1 + n_out], 0)[:, :p], ops[-1][:p]
-
-        du_pt, gw_pt = jax.vmap(one)(idx_ + c * 1e-30, buf_[:, :n_out],
-                                     buf_[:, n_out])
-        return du_pt.ravel()[0] + gw_pt.ravel()[0]
+        ops = lax.sort((idx_ + c * 1e-30,)
+                       + tuple(buf_[:, i] for i in range(n_out + 1)),
+                       dimension=1, num_keys=1)
+        return sum(o[:, :p].ravel()[0] for o in ops[1:])
 
     t = per_iter(unsort, (buf, idx_rows))
     print(f"bwd unsort            {t*1e3:8.2f} ms", flush=True)

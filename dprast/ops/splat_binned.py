@@ -195,8 +195,9 @@ def _keys_and_local(grid_size, ts, points, rotation, translation):
 
 
 def _decode_coord(col):
-    """Kernel-side decode of an encoded coordinate column (C, 1) f32-bits
-    -> (r0_local int32, dl f32) with ``dl in (0, 1]``."""
+    """Decode encoded-coordinate planes (any shape, f32-bits) ->
+    (r0_local int32, dl f32) with ``dl in (0, 1]``.  Runs in XLA on the
+    frame planes (the kernels receive pre-decoded values)."""
     enc = lax.bitcast_convert_type(col, jnp.int32)
     i_part = enc >> _FIX
     frac = enc - (i_part << _FIX)
@@ -284,18 +285,6 @@ def _prep_direct(planes, fills, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _axis_onehot_pair(i0, dl, width, chunk):
-    """(bx, dbx): one-hot-pair factor (C, width) for one lane axis from
-    decoded local coords (C, 1); values off the [0, width) window never
-    match (the OOB-drop semantics, reference `src/raster.jl:62`)."""
-    iota = lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
-    lo = iota == i0
-    hi = iota == i0 + 1
-    bx = jnp.where(lo, 1 - dl, 0.0) + jnp.where(hi, dl, 0.0)
-    dbx = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
-    return bx, dbx
-
-
 def _split_matmul(o_bf16, value_f32, terms=_SPLIT_TERMS):
     """Exact-one-hot contraction: ``o @ value`` with the value operand split
     into `terms` bf16 planes (3 terms reproduce f32 exactly; the one-hot
@@ -312,42 +301,112 @@ def _split_matmul(o_bf16, value_f32, terms=_SPLIT_TERMS):
     return acc
 
 
-def _row_targets_2d(iy0, rows_e, chunk, rows_first):
-    """2D one-hot of the two row targets (r0, r0+1) of each point in the
-    extended tile; OOB rows never match.  `rows_first` picks the matmul
-    orientation: (rows_e, 2C) for the forward scatter, (2C, rows_e) for
-    the backward gather."""
-    rcat = jnp.concatenate([iy0, iy0 + 1], axis=0)        # (2C, 1)
-    if rows_first:
-        iota = lax.broadcasted_iota(jnp.int32, (rows_e, 2 * chunk), 0)
-        o = iota == rcat.reshape(1, -1)
-    else:
-        iota = lax.broadcasted_iota(jnp.int32, (2 * chunk, rows_e), 1)
-        o = iota == rcat
-    return o.astype(jnp.bfloat16)
+# ---------------------------------------------------------------------------
+# kernel-feed planes
+#
+# The kernels do NO per-point decoding or coefficient arithmetic: any op on
+# a (C, 1)-shaped value wastes 127/128 VPU lanes, and on the first-
+# generation kernels that layout tax — not MXU work — dominated (measured
+# v5e, 1024^2: 35 ms/kernel vs a ~6 ms MXU floor).  Instead XLA computes,
+# from the sorted frame, exactly the planes each kernel consumes in the
+# orientation it consumes them:
+#
+# - lane planes (B, L, s_pad): the one-hot ROW targets, lane-major — the
+#   (rows_e, S*C) one-hot comes from one broadcast f32 compare.
+# - sublane planes (B, s_pad, M): per-point stencil VALUES (x target and
+#   the splat-weight products), read as (C, 1) columns that only ever
+#   broadcast against (C, cols_e) selects — never scalar (C, 1) math.
+#
+# Planes carry small integers as exact f32 (no in-kernel casts).
+# ---------------------------------------------------------------------------
 
 
-def _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, halo, rows_first):
-    """3D one-hot of the 4 (z, y) stencil rows in the (tz+1, ty+1)-
-    flattened extended tile; invalid combos map to -9 (never match)."""
-    stride = ty + 1 if halo else ty
-    z_hi = tz if halo else tz - 1
-    y_hi = ty if halo else ty - 1
-    idxs = []
+def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
+    """The 4 (sz, sy) stencil flat-row targets (tz+1, ty+1 layout; invalid
+    -> -9, never matching) and their y/z weight products, in branch order
+    (0,0), (0,1), (1,0), (1,1)."""
+    tz, ty = ts[0], ts[1]
+    rows, wzy = [], []
     for sz in (0, 1):
         for sy in (0, 1):
             z = iz0 + sz
             y = iy0 + sy
-            ok = (z >= 0) & (z <= z_hi) & (y >= 0) & (y <= y_hi)
-            idxs.append(jnp.where(ok, z * stride + y, -9))
-    rcat = jnp.concatenate(idxs, axis=0)                  # (4C, 1)
-    if rows_first:
-        iota = lax.broadcasted_iota(jnp.int32, (rows_e, 4 * chunk), 0)
-        o = iota == rcat.reshape(1, -1)
+            ok = (z >= 0) & (z <= tz) & (y >= 0) & (y <= ty)
+            rows.append(jnp.where(ok, (z * (ty + 1) + y), -9)
+                        .astype(jnp.float32))
+            wzy.append((dlz if sz else 1 - dlz) * (dly if sy else 1 - dly))
+    return rows, wzy
+
+
+def _planes_fwd(data, ts, n_out):
+    """(lane (B, L, s_pad), sub (B, s_pad, 1), subv (B, s_pad, 4S)) for
+    the forward kernel from frame planes ``data`` (B, n_out+1, s_pad) =
+    (enc coords..., w).
+
+    lane: the S row targets (2D: iy0; 3D: 4 flat (z,y) stencil rows).
+    sub: the x-target column ``ix0``.
+    subv: the splat-weight products ``a_{s,j}`` (row branch s,
+    x-neighbour j: j=0 gets 1-dlx, j=1 gets dlx; point weight included)
+    PRE-SPLIT into exact bf16 halves — layout ``[all hi planes (2S),
+    all lo planes (2S)]``, dtype bf16.  The kernel selects bf16 directly
+    and feeds each half to its own MXU pass: no in-kernel f32 value
+    operand, no in-kernel split arithmetic (the hi+lo sum carries the
+    same ~2^-17 relative error as the previous in-kernel 2-term split).
+    Mosaic cannot bitcast across bitwidths, hence a separate bf16 array
+    rather than packed pairs."""
+    f32 = jnp.float32
+    ix0, dlx = _decode_coord(data[:, n_out - 1])
+    w = data[:, n_out]
+    if n_out == 2:
+        iy0, dly = _decode_coord(data[:, 0])
+        lane = [iy0.astype(f32)]
+        coeffs = [(1 - dly) * w, dly * w]
     else:
-        iota = lax.broadcasted_iota(jnp.int32, (4 * chunk, rows_e), 1)
-        o = iota == rcat
-    return o.astype(jnp.bfloat16)
+        iz0, dlz = _decode_coord(data[:, 0])
+        iy0, dly = _decode_coord(data[:, 1])
+        lane, wzy = _flat_rows_3d(iz0, dlz, iy0, dly, ts)
+        coeffs = [c * w for c in wzy]
+    a_full = []
+    for c in coeffs:
+        a_full.append(c * (1 - dlx))
+        a_full.append(c * dlx)
+    hi = [a.astype(jnp.bfloat16) for a in a_full]
+    lo = [(a - h.astype(f32)).astype(jnp.bfloat16)
+          for a, h in zip(a_full, hi)]
+    return (jnp.stack(lane, axis=1),
+            ix0.astype(f32)[..., None],
+            jnp.stack(hi + lo, axis=-1))
+
+
+def _planes_bwd(coord, ts, n_out):
+    """lane planes (B, Mb, s_pad) for the backward kernel from the frame's
+    encoded coordinate planes ``coord`` (B, n_out, s_pad).
+
+    2D: ``[iy0, dly, ix0, dlx]``; 3D: ``[r00, r01, r10, r11, dlz, dly,
+    ix0, dlx]`` (flat stencil rows as in the forward lane planes).  The
+    backward kernel works in the TRANSPOSED orientation (resT = gT @
+    o_rows), so every per-point plane stays on the lane axis throughout."""
+    f32 = jnp.float32
+    ix0, dlx = _decode_coord(coord[:, n_out - 1])
+    if n_out == 2:
+        iy0, dly = _decode_coord(coord[:, 0])
+        sub = [iy0.astype(f32), dly]
+    else:
+        iz0, dlz = _decode_coord(coord[:, 0])
+        iy0, dly = _decode_coord(coord[:, 1])
+        rows, _ = _flat_rows_3d(iz0, dlz, iy0, dly, ts)
+        sub = rows + [dlz, dly]
+    sub += [ix0.astype(f32), dlx]
+    return jnp.stack(sub, axis=1)
+
+
+def _x_selects(ix0f, chunk, cols_e):
+    """(lo, hi) masks (C, cols_e) of the two x-neighbour columns from the
+    sublane plane's ix0 column (one broadcast compare each; Mosaic iota
+    is integer-only, so the single (C, 1) column is cast, not the iota)."""
+    ix0 = ix0f.astype(jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (chunk, cols_e), 1)
+    return iota == ix0, iota == ix0 + 1
 
 
 # ---------------------------------------------------------------------------
@@ -355,37 +414,51 @@ def _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, halo, rows_first):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(st_ref, data_ref, ext_ref, *, ts, chunk, halo, n_out):
+def _fwd_kernel(st_ref, lane_ref, sub_ref, subv_ref, ext_ref, *, ts,
+                chunk, halo, n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
     t_prev = st_ref[b, jnp.maximum(s - 1, 0)]
     first = jnp.logical_or(s == 0, t_cur != t_prev)
 
-    cols = data_ref[0].T                                  # (C, planes)
-    tx = ts[-1]
-    cols_e = tx + (1 if halo else 0)
+    cols_e = ts[-1] + (1 if halo else 0)
     if n_out == 2:
-        ty = ts[0]
-        rows_e = ty + (1 if halo else 0)
-        iy0, dly = _decode_coord(cols[:, 0:1])
-        o_rows = _row_targets_2d(iy0, rows_e, chunk, rows_first=True)
-        w = cols[:, 2:3]
-        ax_coeffs = [(1 - dly) * w, dly * w]
+        rows_e = ts[0] + (1 if halo else 0)
+        row0 = lane_ref[0, 0:1, :]                        # (1, C) f32
+        rcat = jnp.concatenate([row0, row0 + 1], axis=1)  # (1, SC)
     else:
-        tz, ty = ts[0], ts[1]
-        rows_e = (tz + 1) * (ty + 1) if halo else tz * ty
-        iz0, dlz = _decode_coord(cols[:, 0:1])
-        iy0, dly = _decode_coord(cols[:, 1:2])
-        o_rows = _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, halo,
-                                 rows_first=True)
-        w = cols[:, 3:4]
-        ax_coeffs = [(1 - dlz) * (1 - dly) * w, (1 - dlz) * dly * w,
-                     dlz * (1 - dly) * w, dlz * dly * w]
-    ix0, dlx = _decode_coord(cols[:, n_out - 1:n_out])
-    bx, _ = _axis_onehot_pair(ix0, dlx, cols_e, chunk)
-    b_stack = jnp.concatenate([c * bx for c in ax_coeffs], axis=0)
-    acc = _split_matmul(o_rows, b_stack)                  # (rows_e, cols_e)
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+        # lane-dim concat of the 4 row planes (a reshape would relayout
+        # sublanes into lanes — the exact tax this kernel design avoids)
+        rcat = jnp.concatenate(
+            [lane_ref[0, i:i + 1, :] for i in range(4)], axis=1)
+    sc = rcat.shape[1]
+    n_br = sc // chunk
+    o_rows = (lax.broadcasted_iota(jnp.int32, (rows_e, sc), 0)
+              == rcat.astype(jnp.int32)).astype(jnp.bfloat16)
+
+    # one-hot x columns as bf16 MULTIPLIERS (a bf16 select against an
+    # i32-layout mask is a relayout Mosaic rejects; mask->bf16 casts and
+    # multiplies are native)
+    lo, hi = _x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
+    lo01 = lo.astype(jnp.bfloat16)
+    hi01 = hi.astype(jnp.bfloat16)
+    subv = subv_ref[0]                                    # (C, 4S) bf16
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for half in (0, 1):
+        vals = []
+        for i in range(n_br):
+            a0 = subv[:, half * 2 * n_br + 2 * i:
+                      half * 2 * n_br + 2 * i + 1]
+            a1 = subv[:, half * 2 * n_br + 2 * i + 1:
+                      half * 2 * n_br + 2 * i + 2]
+            vals.append(lo01 * a0 + hi01 * a1)
+        b_stack = jnp.concatenate(vals, axis=0)           # (SC, cols_e)
+        part = lax.dot_general(o_rows, b_stack, dims,
+                               preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
 
     @pl.when(first)
     def _():
@@ -438,11 +511,15 @@ def _fold(ext, grid_size, ts, halo):
     return x
 
 
-def _unfold(x, grid_size, ts):
+def _unfold(x, grid_size, ts, transposed=False):
     """Extract the per-tile extended cotangent windows — the exact adjoint
     of :func:`_fold`.  x (B, *grid) -> (B, nt, rows_e, cols_e) with
     ``window[t] = x_pad[t*ts : t*ts + ts + 1]`` per axis (zero padding
-    outside the grid: out-of-grid stencil neighbours gather 0)."""
+    outside the grid: out-of-grid stencil neighbours gather 0).
+
+    With ``transposed=True`` the windows come out as (B, nt, cols_e,
+    rows_e) — the orientation the backward kernel consumes — at no extra
+    cost (the axis order is picked in the final transpose either way)."""
     n = len(grid_size)
     b = x.shape[0]
     nts = [-(-g // t) for g, t in zip(grid_size, ts)]
@@ -458,10 +535,14 @@ def _unfold(x, grid_size, ts):
         halo_s = halo_s.reshape(halo_s.shape[:ax] + (m, 1)
                                 + halo_s.shape[ax + 1:])
         xp = jnp.concatenate([body, halo_s], axis=ax + 1)
-    perm = ([0] + [1 + 2 * i for i in range(n)]
-            + [2 + 2 * i for i in range(n)])
+    sub_axes = [2 + 2 * i for i in range(n)]
+    if transposed:
+        sub_axes = sub_axes[-1:] + sub_axes[:-1]
+    perm = [0] + [1 + 2 * i for i in range(n)] + sub_axes
     xp = xp.transpose(perm)        # (B, m0.., t0+1..)
     rows = math.prod(t + 1 for t in ts[:-1])
+    if transposed:
+        return xp.reshape(b, math.prod(nts), ts[-1] + 1, rows)
     return xp.reshape(b, math.prod(nts), rows, ts[-1] + 1)
 
 
@@ -528,7 +609,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, *planes[n_out:])
-    data_fw = data[:, :n_out + 1] if with_residuals else data
+    lane, sub, subv = _planes_fwd(data[:, :n_out + 1], ts, n_out)
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -542,8 +623,14 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         num_scalar_prefetch=1,
         grid=(bsz, n_slots),
         in_specs=[
-            pl.BlockSpec((1, n_out + 1, chunk),
+            pl.BlockSpec((1, lane.shape[1], chunk),
                          lambda b, s, st: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, sub.shape[-1]),
+                         lambda b, s, st: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, subv.shape[-1]),
+                         lambda b, s, st: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -556,9 +643,9 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
                           n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              data_fw),
+                              lane, sub, subv),
         interpret=interpret,
-    )(slot_tile, data_fw)
+    )(slot_tile, lane, sub, subv)
 
     out = _fold(ext, grid_size, ts, halo)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
@@ -574,55 +661,79 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(st_ref, data_ref, g_ref, buf_ref, *, ts, chunk, halo,
+def _split_matmul_t(value_f32, o_bf16, terms=_SPLIT_TERMS):
+    """`value @ o` with the LEFT (value) operand bf16-split; the right
+    operand is an exact one-hot.  f32 accumulation on the MXU."""
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    rem = value_f32
+    for _ in range(terms):
+        t_i = rem.astype(jnp.bfloat16)
+        part = lax.dot_general(t_i, o_bf16, dims,
+                               preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+        rem = rem - t_i.astype(jnp.float32)
+    return acc
+
+
+def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
                 n_out):
-    tx = ts[-1]
-    cols_e = tx + (1 if halo else 0)
-
-    # the extended cotangent window: pre-unfolded outside the kernel
-    # (halo path; zero-padded past the grid == reference OOB drop) or the
-    # single tile's own block (halo-free path)
+    """Transposed-orientation gather kernel: ``resT = gT @ o_rows`` with
+    the cotangent window pre-transposed by `_unfold`.  Every per-point
+    operand lives on the LANE axis end to end — inputs are (Mb, C) rows,
+    the stencil combination broadcasts (1, C) rows over sublanes, the
+    reductions run over sublanes, and the output is (n_out+1, C) rows —
+    so no operation ever runs in the 1-lane (C, 1) layout."""
+    cols_e = ts[-1] + (1 if halo else 0)
     if halo:
-        g = g_ref[0, 0]                                   # (rows_e, cols_e)
+        gt = g_ref[0, 0]                                  # (cols_e, rows_e)
         if n_out == 2:
-            ty = ts[0]
-            rows_e = ty + 1
+            rows_e = ts[0] + 1
         else:
-            tz, ty = ts[0], ts[1]
-            rows_e = (tz + 1) * (ty + 1)
+            rows_e = (ts[0] + 1) * (ts[1] + 1)
     else:
-        ty = ts[0]
-        rows_e = ty
-        g = g_ref[0]
+        rows_e = ts[0]
+        gt = g_ref[0]
 
-    cols = data_ref[0].T                                  # (C, n_out)
+    lane = lane_ref[0]                                    # (Mb, C)
     if n_out == 2:
-        iy0, dly = _decode_coord(cols[:, 0:1])
-        o_rows = _row_targets_2d(iy0, rows_e, chunk, rows_first=False)
-        res = _split_matmul(o_rows, g)                    # (2C, cols_e)
-        p0, p1 = res[:chunk], res[chunk:]
+        row0 = lane[0:1, :]
+        rcat = jnp.concatenate([row0, row0 + 1], axis=1)  # (1, SC)
+        dly = lane[1:2, :]
+    else:
+        rcat = jnp.concatenate([lane[i:i + 1, :] for i in range(4)],
+                               axis=1)
+        dlz, dly = lane[4:5, :], lane[5:6, :]
+    sc = rcat.shape[1]
+    # pure one-hot gather rows (exact bf16); the VALUE side here is the
+    # small cotangent window, so the bf16 split runs on (cols_e, rows_e)
+    o_rows = (lax.broadcasted_iota(jnp.int32, (rows_e, sc), 0)
+              == rcat.astype(jnp.int32)).astype(jnp.bfloat16)
+    res = _split_matmul_t(gt, o_rows)                     # (cols_e, SC)
+
+    if n_out == 2:
+        p0, p1 = res[:, :chunk], res[:, chunk:]
         v1 = (1 - dly) * p0 + dly * p1
         dus_pre = [p1 - p0]                               # d/du_y
     else:
-        iz0, dlz = _decode_coord(cols[:, 0:1])
-        iy0, dly = _decode_coord(cols[:, 1:2])
-        o_rows = _row_targets_3d(iz0, iy0, tz, ty, rows_e, chunk, True,
-                                 rows_first=False)
-        res = _split_matmul(o_rows, g)                    # (4C, cols_e)
-        p00, p01 = res[:chunk], res[chunk:2 * chunk]
-        p10, p11 = res[2 * chunk:3 * chunk], res[3 * chunk:]
+        p00, p01 = res[:, :chunk], res[:, chunk:2 * chunk]
+        p10, p11 = res[:, 2 * chunk:3 * chunk], res[:, 3 * chunk:]
         y0 = (1 - dly) * p00 + dly * p01
         y1 = (1 - dly) * p10 + dly * p11
         v1 = (1 - dlz) * y0 + dlz * y1
         dus_pre = [y1 - y0,                               # d/du_z
                    (1 - dlz) * (p01 - p00) + dlz * (p11 - p10)]  # d/du_y
-    ix0, dlx = _decode_coord(cols[:, n_out - 1:n_out])
-    bx, dbx = _axis_onehot_pair(ix0, dlx, cols_e, chunk)
-    gw = jnp.sum(v1 * bx, axis=1, keepdims=True)
-    dus = [jnp.sum(dpre * bx, axis=1, keepdims=True) for dpre in dus_pre]
-    dus.append(jnp.sum(v1 * dbx, axis=1, keepdims=True))  # d/du_x
-    out = jnp.concatenate(dus + [gw], axis=1)             # (C, n_out+1)
-    buf_ref[0] = out.T
+    ix0 = lane[-2:-1, :].astype(jnp.int32)
+    dlx = lane[-1:, :]
+    iota = lax.broadcasted_iota(jnp.int32, (cols_e, chunk), 0)
+    lo = iota == ix0
+    hi = iota == ix0 + 1
+    bx = jnp.where(lo, 1 - dlx, 0.0) + jnp.where(hi, dlx, 0.0)
+    dbx = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
+    gw = jnp.sum(v1 * bx, axis=0, keepdims=True)          # (1, C)
+    dus = [jnp.sum(dpre * bx, axis=0, keepdims=True) for dpre in dus_pre]
+    dus.append(jnp.sum(v1 * dbx, axis=0, keepdims=True))  # d/du_x
+    buf_ref[0] = jnp.concatenate(dus + [gw], axis=0)      # (n_out+1, C)
 
 
 def raster_pullback(grid_size, points, rotation, translation, background,
@@ -705,26 +816,29 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
         rows_e = (ts[0] + 1) * (ts[1] + 1)
     cols_e = ts[-1] + (1 if halo else 0)
 
-    # the extended cotangent windows, extracted ONCE in XLA: each kernel
-    # instance then reads a single (rows_e, cols_e) block by slot->tile
-    # index — out-of-grid neighbours see the zero padding (the reference
-    # OOB-drop semantics, no validity masks)
+    # the extended cotangent windows, extracted ONCE in XLA and already
+    # TRANSPOSED for the kernel: each instance reads a single
+    # (cols_e, rows_e) block by slot->tile index — out-of-grid neighbours
+    # see the zero padding (the reference OOB-drop semantics, no validity
+    # masks)
     if halo:
-        g_in = _unfold(g_cot, grid_size, ts)     # (B, nt, rows_e, cols_e)
-        g_spec = pl.BlockSpec((1, 1, rows_e, cols_e),
+        g_in = _unfold(g_cot, grid_size, ts, transposed=True)
+        g_spec = pl.BlockSpec((1, 1, cols_e, rows_e),
                               lambda b, s, st: (b, st[b, s], 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        g_in = g_cot
-        g_spec = pl.BlockSpec((1,) + tuple(ts),
+        g_in = jnp.swapaxes(g_cot, 1, 2)
+        g_spec = pl.BlockSpec((1, ts[1], ts[0]),
                               lambda b, s, st: (b, 0, 0),
                               memory_space=pltpu.VMEM)
 
+    lane_b = _planes_bwd(coord, ts, n_out)                # (B, Mb, s_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_slots),
         in_specs=[
-            pl.BlockSpec((1, n_out, chunk), lambda b, s, st: (b, 0, s),
+            pl.BlockSpec((1, lane_b.shape[1], chunk),
+                         lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
             g_spec,
         ],
@@ -737,26 +851,24 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                           n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, n_out + 1, s_pad), f32, slot_tile,
-                              coord, g_in),
+                              lane_b, g_in),
         interpret=interpret,
-    )(slot_tile, coord, g_in)
+    )(slot_tile, lane_b, g_in)
 
     # ---- everything below is plain XLA on the raw per-row gradients ----
-    # unsort the raw kernel rows by point id FIRST (the single sort is the
-    # TPU's fast permutation; the direct path keeps original order and
-    # needs none); afterwards every row aligns with the original `points`
-    # array, so weights/points/rotation contract directly — no per-row
-    # broadcast planes ever ride the binning sort
+    # unsort the raw kernel rows by point id (one batched multi-operand
+    # sort; measured v5e 1024^2: a take_along_axis row gather is ~5x
+    # SLOWER than re-sorting every plane — TPU sorts beat gathers).  The
+    # direct path keeps original order and needs nothing.
     if halo:
-        def unsort(idx, du, gwr):
-            ops = lax.sort((idx,) + tuple(du[i] for i in range(n_out))
-                           + (gwr,), dimension=0, num_keys=1)
-            return jnp.stack(ops[1:1 + n_out], 0)[:, :p], ops[-1][:p]
-
-        du_pt, gw_pt = jax.vmap(unsort)(idx_rows, buf[:, :n_out],
-                                        buf[:, n_out])
+        ops = lax.sort((idx_rows,) + tuple(buf[:, i]
+                                           for i in range(n_out + 1)),
+                       dimension=1, num_keys=1)
+        per = [o[:, :p] for o in ops[1:]]
     else:
-        du_pt, gw_pt = buf[:, :n_out, :p], buf[:, n_out, :p]
+        per = [buf[:, i, :p] for i in range(n_out + 1)]
+    du_pt = jnp.stack(per[:n_out], axis=1)                # (B, n_out, P)
+    gw_pt = per[n_out]                                    # (B, P)
 
     scale = jnp.asarray(grid_size, f32) / 2
     ow = out_weight.astype(f32)
