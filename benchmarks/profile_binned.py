@@ -106,24 +106,24 @@ def main():
     cols_e = ts[-1] + (1 if halo else 0)
     n_slots = s_pad // chunk
 
-    lane, sub, subv = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
+    lane, lanev, sub = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
         data[:, :n_out + 1])
     lane.block_until_ready()
     t = per_iter(lambda c, d: _planes_fwd(
-        d + c * 1e-30, ts, n_out)[1].ravel()[0], (data[:, :n_out + 1],))
+        d + c * 1e-30, ts, n_out)[2].ravel()[0], (data[:, :n_out + 1],))
     print(f"fwd planes            {t*1e3:8.2f} ms", flush=True)
 
-    def fwd_kernel(lane_, sub_, subv_, st_):
+    def fwd_kernel(lane_, lanev_, sub_, st_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),
             in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
                                    lambda bb, s, st: (bb, 0, s),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, chunk, sub_.shape[-1]),
-                                   lambda bb, s, st: (bb, s, 0),
+                      pl.BlockSpec((1, lanev_.shape[1], chunk),
+                                   lambda bb, s, st: (bb, 0, s),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, chunk, subv_.shape[-1]),
+                      pl.BlockSpec((1, chunk, sub_.shape[-1]),
                                    lambda bb, s, st: (bb, s, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, rows_e, cols_e),
@@ -137,14 +137,14 @@ def main():
             out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
                                            jnp.float32),
             interpret=False,
-        )(st_, lane_, sub_, subv_)
+        )(st_, lane_, lanev_, sub_)
 
-    t = per_iter(lambda c, l_, su, sv, st_: fwd_kernel(
-        l_ + c * 1e-30, su, sv, st_).ravel()[0],
-        (lane, sub, subv, slot_tile))
+    t = per_iter(lambda c, l_, lv, su, st_: fwd_kernel(
+        l_ + c * 1e-30, lv, su, st_).ravel()[0],
+        (lane, lanev, sub, slot_tile))
     print(f"fwd kernel            {t*1e3:8.2f} ms", flush=True)
 
-    ext = jax.jit(fwd_kernel)(lane, sub, subv, slot_tile)
+    ext = jax.jit(fwd_kernel)(lane, lanev, sub, slot_tile)
     ext.block_until_ready()
     t = per_iter(lambda c, e: _fold(
         e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))

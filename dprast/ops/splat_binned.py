@@ -339,21 +339,24 @@ def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
 
 
 def _planes_fwd(data, ts, n_out):
-    """(lane (B, L, s_pad), sub (B, s_pad, 1), subv (B, s_pad, 4S)) for
-    the forward kernel from frame planes ``data`` (B, n_out+1, s_pad) =
-    (enc coords..., w).
+    """(lane (B, S, s_pad) f32, lanev (B, 4S, s_pad) bf16, sub
+    (B, s_pad, 1) f32) for the forward kernel from frame planes ``data``
+    (B, n_out+1, s_pad) = (enc coords..., w).
 
     lane: the S row targets (2D: iy0; 3D: 4 flat (z,y) stencil rows).
-    sub: the x-target column ``ix0``.
-    subv: the splat-weight products ``a_{s,j}`` (row branch s,
-    x-neighbour j: j=0 gets 1-dlx, j=1 gets dlx; point weight included)
-    PRE-SPLIT into exact bf16 halves — layout ``[all hi planes (2S),
-    all lo planes (2S)]``, dtype bf16.  The kernel selects bf16 directly
-    and feeds each half to its own MXU pass: no in-kernel f32 value
-    operand, no in-kernel split arithmetic (the hi+lo sum carries the
-    same ~2^-17 relative error as the previous in-kernel 2-term split).
-    Mosaic cannot bitcast across bitwidths, hence a separate bf16 array
-    rather than packed pairs."""
+    lanev: the splat-weight products ``a_{s,j}`` (row branch s,
+    x-neighbour j; point weight included) PRE-SPLIT into exact bf16
+    halves, as LANE rows in branch-major order ``[a_{s,j} hi...,
+    a_{s,j} lo...]`` with j fastest.  The kernel multiplies these (1, C)
+    rows into the one-hot ROW matrix (cheap sublane broadcasts) so the
+    one-hot COLUMN matrix stays pure {0, 1} — no value ever crosses to
+    the sublane-column side, whose (C, 1) lane-broadcasts dominated the
+    first-generation kernels (measured v5e, 1024^2: 31 ms/kernel vs a
+    ~6 ms MXU floor).  The hi+lo pair reproduces the usual exact 2-term
+    split (~2^-18 relative).
+    sub: the x-target column ``ix0`` (the single remaining sublane
+    operand; its one lane-broadcast compare is shared by both one-hot
+    columns)."""
     f32 = jnp.float32
     ix0, dlx = _decode_coord(data[:, n_out - 1])
     w = data[:, n_out]
@@ -374,8 +377,8 @@ def _planes_fwd(data, ts, n_out):
     lo = [(a - h.astype(f32)).astype(jnp.bfloat16)
           for a, h in zip(a_full, hi)]
     return (jnp.stack(lane, axis=1),
-            ix0.astype(f32)[..., None],
-            jnp.stack(hi + lo, axis=-1))
+            jnp.stack(hi + lo, axis=1),
+            ix0.astype(f32)[..., None])
 
 
 def _planes_bwd(coord, ts, n_out):
@@ -414,7 +417,7 @@ def _x_selects(ix0f, chunk, cols_e):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(st_ref, lane_ref, sub_ref, subv_ref, ext_ref, *, ts,
+def _fwd_kernel(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
                 chunk, halo, n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -423,42 +426,40 @@ def _fwd_kernel(st_ref, lane_ref, sub_ref, subv_ref, ext_ref, *, ts,
     first = jnp.logical_or(s == 0, t_cur != t_prev)
 
     cols_e = ts[-1] + (1 if halo else 0)
+    lane = lane_ref[0]                                    # (S, C) f32
     if n_out == 2:
         rows_e = ts[0] + (1 if halo else 0)
-        row0 = lane_ref[0, 0:1, :]                        # (1, C) f32
-        rcat = jnp.concatenate([row0, row0 + 1], axis=1)  # (1, SC)
+        rows = [lane[0:1, :], lane[0:1, :] + 1]
     else:
         rows_e = (ts[0] + 1) * (ts[1] + 1)
-        # lane-dim concat of the 4 row planes (a reshape would relayout
-        # sublanes into lanes — the exact tax this kernel design avoids)
-        rcat = jnp.concatenate(
-            [lane_ref[0, i:i + 1, :] for i in range(4)], axis=1)
-    sc = rcat.shape[1]
-    n_br = sc // chunk
-    o_rows = (lax.broadcasted_iota(jnp.int32, (rows_e, sc), 0)
-              == rcat.astype(jnp.int32)).astype(jnp.bfloat16)
+        rows = [lane[i:i + 1, :] for i in range(4)]
+    n_br = len(rows)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+    o_s = [(iota_r == r.astype(jnp.int32)).astype(jnp.bfloat16)
+           for r in rows]
 
-    # one-hot x columns as bf16 MULTIPLIERS (a bf16 select against an
-    # i32-layout mask is a relayout Mosaic rejects; mask->bf16 casts and
-    # multiplies are native)
+    # pure {0,1} one-hot x columns (C, cols_e); all VALUES ride the row
+    # side below as (1, C) sublane broadcasts — nothing value-like ever
+    # needs a (C, 1) lane-broadcast (bf16 selects against i32-layout
+    # masks are a relayout Mosaic rejects; mask->bf16 casts + multiplies
+    # are native)
     lo, hi = _x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
-    lo01 = lo.astype(jnp.bfloat16)
-    hi01 = hi.astype(jnp.bfloat16)
-    subv = subv_ref[0]                                    # (C, 4S) bf16
+    xs = [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
+
+    vals = lanev_ref[0]                                   # (4S, C) bf16
     dims = (((1,), (0,)), ((), ()))
     acc = None
-    for half in (0, 1):
-        vals = []
-        for i in range(n_br):
-            a0 = subv[:, half * 2 * n_br + 2 * i:
-                      half * 2 * n_br + 2 * i + 1]
-            a1 = subv[:, half * 2 * n_br + 2 * i + 1:
-                      half * 2 * n_br + 2 * i + 2]
-            vals.append(lo01 * a0 + hi01 * a1)
-        b_stack = jnp.concatenate(vals, axis=0)           # (SC, cols_e)
-        part = lax.dot_general(o_rows, b_stack, dims,
-                               preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
+    for j in (0, 1):
+        for half in (0, 1):
+            m = None
+            for i in range(n_br):
+                a = vals[half * 2 * n_br + 2 * i + j:
+                         half * 2 * n_br + 2 * i + j + 1, :]
+                term = o_s[i] * a
+                m = term if m is None else m + term
+            part = lax.dot_general(m, xs[j], dims,
+                                   preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
 
     @pl.when(first)
     def _():
@@ -609,7 +610,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, *planes[n_out:])
-    lane, sub, subv = _planes_fwd(data[:, :n_out + 1], ts, n_out)
+    lane, lanev, sub = _planes_fwd(data[:, :n_out + 1], ts, n_out)
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -626,10 +627,10 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
             pl.BlockSpec((1, lane.shape[1], chunk),
                          lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, sub.shape[-1]),
-                         lambda b, s, st: (b, s, 0),
+            pl.BlockSpec((1, lanev.shape[1], chunk),
+                         lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, subv.shape[-1]),
+            pl.BlockSpec((1, chunk, sub.shape[-1]),
                          lambda b, s, st: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -643,9 +644,9 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
                           n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              lane, sub, subv),
+                              lane, lanev, sub),
         interpret=interpret,
-    )(slot_tile, lane, sub, subv)
+    )(slot_tile, lane, lanev, sub)
 
     out = _fold(ext, grid_size, ts, halo)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
