@@ -42,7 +42,8 @@ def main():
     args = (points, rotation, translation, background, out_weight,
             point_weight)
 
-    backend = dispatch.resolve("auto", len(grid), grid, n_points)
+    backend_f, backend_b = dispatch.resolve_pair("auto", len(grid), grid,
+                                                 n_points)
     ds_dout = jnp.asarray(
         rng.standard_normal((batch,) + grid), jnp.float32)
 
@@ -53,14 +54,14 @@ def main():
     # values to cancel the constant dispatch+fetch overhead.
     def fwd_step(c, *a):
         pts, rot, tr, bg, ow, pw = a
-        out = dispatch.fwd_fn(backend)(grid, pts, rot, tr + c * 1e-30, bg,
-                                       ow, pw)
+        out = dispatch.fwd_fn(backend_f)(grid, pts, rot, tr + c * 1e-30, bg,
+                                         ow, pw)
         return out.ravel()[0]
 
     def bwd_step(c, *a):
         pts, rot, tr, bg, ow, pw, g = a
-        res = dispatch.bwd_fn(backend)(grid, pts, rot, tr + c * 1e-30, bg,
-                                       ow, pw, g)
+        res = dispatch.bwd_fn(backend_b)(grid, pts, rot, tr + c * 1e-30, bg,
+                                         ow, pw, g)
         return res.translation.ravel()[0]
 
     def chained_time(step, a, k):
@@ -93,7 +94,7 @@ def main():
         "unit": "splats/s",
         "vs_baseline": value / baseline,
         "detail": {
-            "backend": backend,
+            "backend": backend_f if backend_f == backend_b else f"{backend_f}+{backend_b}",
             "platform": jax.default_backend(),
             "t_fwd_ms": t_fwd * 1e3,
             "t_bwd_ms": t_bwd * 1e3,

@@ -76,7 +76,7 @@ def main():
             jnp.arange(p, dtype=jnp.float32)[None, :], key.shape)
         return jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         True)
+                                         True, pack_idx=True)
         )(key, *locs, w, ptidx)
 
     data, slot_tile = jax.jit(prep)(tr)

@@ -91,7 +91,8 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
 
     from dprast.ops import dispatch
 
-    backend = dispatch.resolve("auto", len(grid), grid, n_points)
+    backend_f, backend_b = dispatch.resolve_pair("auto", len(grid), grid,
+                                                 n_points)
     args = _args_for(n_points, batch, grid, n_in)
     voxels = batch
     for s in grid:
@@ -110,12 +111,14 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
     g.block_until_ready()
 
     pts, rot, tr, bg, ow, pw = args
-    fwd = lambda c: dispatch.fwd_fn(backend)(
+    fwd = lambda c: dispatch.fwd_fn(backend_f)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0]
-    bwd = lambda c, gg: dispatch.bwd_fn(backend)(
+    bwd = lambda c, gg: dispatch.bwd_fn(backend_b)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
         gg).translation.ravel()[0]
-    rec = {"config": name, "backend": backend}
+    rec = {"config": name,
+           "backend": (backend_f if backend_f == backend_b
+                       else f"{backend_f}+{backend_b}")}
     splats = n_points * batch * 2 ** len(grid)
     # report partially: a compile failure in one direction (e.g. the dev
     # tunnel's payload cap) must not discard the other's measurement

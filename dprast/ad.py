@@ -16,23 +16,35 @@ import jax
 from dprast.ops import dispatch
 
 
+def _normalize(backend):
+    """Backend spec -> (fwd_name, bwd_name): a plain name applies to both
+    directions; a pair mixes strategies (`dispatch.resolve_pair`)."""
+    if isinstance(backend, str):
+        return backend, backend
+    return backend
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def raster_canonical(grid_size, backend, points, rotation, translation,
                      background, out_weight, point_weight):
     """Forward rasterisation on canonical batched args → (B, *grid_size).
 
-    `grid_size` (tuple of python ints) and `backend` (resolved name) are
-    static; the six array args are differentiable.
+    `grid_size` (tuple of python ints) and `backend` (a resolved name, or
+    a static (forward, backward) name pair) are static; the six array
+    args are differentiable.
     """
-    return dispatch.fwd_fn(backend)(grid_size, points, rotation, translation,
-                                    background, out_weight, point_weight)
+    fwd_name, _ = _normalize(backend)
+    return dispatch.fwd_fn(fwd_name)(grid_size, points, rotation,
+                                     translation, background, out_weight,
+                                     point_weight)
 
 
 def _fwd(grid_size, backend, points, rotation, translation, background,
          out_weight, point_weight):
+    fwd_name, bwd_name = _normalize(backend)
     args = (points, rotation, translation, background, out_weight,
             point_weight)
-    pair = dispatch.vjp_pair(backend)
+    pair = dispatch.vjp_pair(fwd_name) if fwd_name == bwd_name else None
     if pair is None:
         out = raster_canonical(grid_size, backend, *args)
         return out, (None, args)
@@ -45,10 +57,11 @@ def _fwd(grid_size, backend, points, rotation, translation, background,
 
 
 def _bwd(grid_size, backend, residuals, ds_dout):
+    fwd_name, bwd_name = _normalize(backend)
     res, args = residuals
-    pair = dispatch.vjp_pair(backend)
+    pair = dispatch.vjp_pair(fwd_name) if fwd_name == bwd_name else None
     if pair is None or res is None:
-        grads = dispatch.bwd_fn(backend)(grid_size, *args, ds_dout)
+        grads = dispatch.bwd_fn(bwd_name)(grid_size, *args, ds_dout)
     else:
         grads = pair[1](grid_size, res, args, ds_dout)
     # PullbackResult field order == canonical argument order.

@@ -189,8 +189,8 @@ def raster(grid_size, points, rotation, translation, background=None,
     grid_size, args, batched = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
-    resolved = dispatch.resolve(backend, len(grid_size), grid_size,
-                                args[0].shape[0])
+    resolved = dispatch.resolve_pair(backend, len(grid_size), grid_size,
+                                     args[0].shape[0])
     if args[0].shape[0] == 0:
         # empty cloud: the background image (all backends chunk by points)
         b = args[1].shape[0]
@@ -228,8 +228,8 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
         raise ValueError(
             f"ds_dout shape {ds_dout.shape} does not match output shape "
             f"{(args[1].shape[0],) + grid_size}")
-    resolved = dispatch.resolve(backend, len(grid_size), grid_size,
-                                args[0].shape[0])
+    _, resolved = dispatch.resolve_pair(backend, len(grid_size), grid_size,
+                                        args[0].shape[0])
     if args[0].shape[0] == 0:
         b = args[1].shape[0]
         g = ds_dout.astype(args[0].dtype)

@@ -114,6 +114,29 @@ def resolve(backend: str, n_out: int, grid_size=None,
     return "xla"
 
 
+def resolve_pair(backend: str, n_out: int, grid_size=None,
+                 n_points=None) -> tuple[str, str]:
+    """Per-direction (forward, backward) strategy resolution.
+
+    The two directions have different optimal strategies in some regimes
+    (the reference itself mixes: KernelAbstractions forward, hand-written
+    CUDA backward — `src/raster.jl:36` vs `ext/...CUDAExt.jl:19`).
+    Measured v5e at the flagship 128^2 x 64 x 1e5 config: matmul forward
+    7.9 ms vs binned 15.1, but binned backward 8.0 ms vs matmul 10.5 —
+    'auto' therefore pairs the matmul forward with the binned backward on
+    single-tile 2D grids (where the binned frame needs no sort and no
+    unsort).  Explicit backend names always apply to both directions.
+    """
+    name = resolve(backend, n_out, grid_size, n_points)
+    if (backend == "auto" and name == "matmul" and grid_size is not None
+            and n_out == 2 and _on_tpu() and not jax.config.jax_enable_x64
+            and splat_binned._single_tile(grid_size)
+            and min(grid_size) > 64
+            and splat_binned.supported(n_out, grid_size, n_points)):
+        return name, "binned"
+    return name, name
+
+
 def fwd_fn(backend: str):
     return _REGISTRY[backend][0]
 

@@ -113,7 +113,8 @@ def supported(n_out: int, grid_size=None, n_points=None) -> bool:
     # Slot-frame padding is ~nt*chunk inert rows; measured on v5e at 10^5
     # points: 512^3 binned bwd lost to the oracle at ~10x padding, while
     # 1024^2 at 10^4 points (~4x padding) stays ~2x ahead of the oracle.
-    if n_points is not None and nt * 512 > 8 * max(n_points, 1024):
+    chunk = _default_chunk(grid_size)
+    if n_points is not None and nt * chunk > 8 * max(n_points, 1024):
         return False
     return True
 
@@ -144,8 +145,11 @@ def _interpret_default() -> bool:
 
 def _default_chunk(grid_size) -> int:
     # large chunks amortise per-instance overhead; small ones waste less
-    # padding on many-tile grids.  Measured on v5e.
-    return 1024 if _single_tile(grid_size) else 512
+    # slot padding — which the binning sort, the unsort AND the kernels
+    # all pay for.  Measured on v5e at 1024^2 x 64 x 1e5: chunk 256 beats
+    # 512 (prep 18->12 ms, unsort 28->17 ms, kernels +~2 ms) and 128
+    # (whose forward kernel pays +7 ms of per-instance overhead).
+    return 1024 if _single_tile(grid_size) else 256
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +212,8 @@ def _decode_coord(col):
     return r0, dl
 
 
-def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
+def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
+                 pack_idx=False):
     """Sort `planes` (list of (P,) f32) into the padded slot frame.
 
     Returns (data (len(planes), s_pad) f32, slot_tile (n_slots,) i32).
@@ -224,10 +229,22 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
     slots, sort by slot — paid the full bitonic cost twice; gathers and
     scatters are far slower than sort on TPU, so sorting fewer times, not
     replacing the sort, is the lever.)
+
+    With ``pack_idx=True`` the last plane must be the point-id plane
+    (values ``0..p-1``, fill ``p``); when the combined bits fit an int32
+    it rides INSIDE the sort key (``key * P2 + id``) instead of being a
+    payload operand — variadic sort cost scales with operand count, and
+    this drops one of them (measured v5e, 1024^2 x 64: ~19 -> ~15 ms).
+    Falls back to carrying it as a payload when the bits don't fit.
     """
     p = key.shape[0]
     s_pad = _slot_frame_size(p, nt, chunk)
     n_slots = s_pad // chunk
+
+    p2 = 1 << max(int(p).bit_length(), 1)
+    packed = pack_idx and (2 * nt + 1) * p2 + p < 2 ** 31
+    if packed:
+        planes = planes[:-1]
 
     iota_t = jnp.arange(nt, dtype=jnp.int32)
     counts = jnp.sum(key[None, :] == iota_t[:, None], axis=1,
@@ -249,12 +266,20 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile):
     n_extra = max(s_pad - p - nt * chunk, 0)
     keys2 = jnp.concatenate([2 * key, f_key,
                              jnp.full((n_extra,), 2 * nt + 1, jnp.int32)])
+    if packed:
+        sub = jnp.concatenate([jnp.arange(p, dtype=jnp.int32),
+                               jnp.full((nt * chunk + n_extra,), p,
+                                        jnp.int32)])
+        keys2 = keys2 * p2 + sub
     cat = [jnp.concatenate([planes[i],
                             jnp.full((nt * chunk + n_extra,), fills[i],
                                      jnp.float32)])
            for i in range(len(planes))]
     sorted2 = lax.sort((keys2,) + tuple(cat), dimension=0, num_keys=1)
-    data = jnp.stack([c[:s_pad] for c in sorted2[1:]], axis=0)
+    data = [c[:s_pad] for c in sorted2[1:]]
+    if packed:
+        data.append((sorted2[0][:s_pad] % p2).astype(jnp.float32))
+    data = jnp.stack(data, axis=0)
     assert data.shape[-1] == s_pad, (data.shape, s_pad)
     # row i of the frame belongs to tile #(count of poffs[t+1] <= i)
     starts = jnp.arange(n_slots, dtype=jnp.int32) * chunk
@@ -285,20 +310,6 @@ def _prep_direct(planes, fills, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _split_matmul(o_bf16, value_f32, terms=_SPLIT_TERMS):
-    """Exact-one-hot contraction: ``o @ value`` with the value operand split
-    into `terms` bf16 planes (3 terms reproduce f32 exactly; the one-hot
-    side is exact in bf16 by construction).  f32 accumulation on the MXU."""
-    dims = (((1,), (0,)), ((), ()))
-    acc = None
-    rem = value_f32
-    for _ in range(terms):
-        t_i = rem.astype(jnp.bfloat16)
-        part = lax.dot_general(o_bf16, t_i, dims,
-                               preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-        rem = rem - t_i.astype(jnp.float32)
-    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +615,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     if halo:
         data, slot_tile = jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         True)
+                                         True, pack_idx=with_residuals)
         )(key, *locs, *planes[n_out:])
     else:
         data, slot_tile = jax.vmap(
@@ -662,19 +673,6 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 # ---------------------------------------------------------------------------
 
 
-def _split_matmul_t(value_f32, o_bf16, terms=_SPLIT_TERMS):
-    """`value @ o` with the LEFT (value) operand bf16-split; the right
-    operand is an exact one-hot.  f32 accumulation on the MXU."""
-    dims = (((1,), (0,)), ((), ()))
-    acc = None
-    rem = value_f32
-    for _ in range(terms):
-        t_i = rem.astype(jnp.bfloat16)
-        part = lax.dot_general(t_i, o_bf16, dims,
-                               preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-        rem = rem - t_i.astype(jnp.float32)
-    return acc
 
 
 def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
@@ -698,27 +696,43 @@ def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
 
     lane = lane_ref[0]                                    # (Mb, C)
     if n_out == 2:
-        row0 = lane[0:1, :]
-        rcat = jnp.concatenate([row0, row0 + 1], axis=1)  # (1, SC)
+        rows = [lane[0:1, :], lane[0:1, :] + 1]
         dly = lane[1:2, :]
     else:
-        rcat = jnp.concatenate([lane[i:i + 1, :] for i in range(4)],
-                               axis=1)
+        # one one-hot + matmul PER stencil row (a lane-dim concat of row
+        # slices with distinct sublane offsets is unimplemented in
+        # Mosaic; per-row matmuls carry the same total MXU FLOPs and
+        # also skip slicing the result back apart)
+        rows = [lane[i:i + 1, :] for i in range(4)]
         dlz, dly = lane[4:5, :], lane[5:6, :]
-    sc = rcat.shape[1]
-    # pure one-hot gather rows (exact bf16); the VALUE side here is the
-    # small cotangent window, so the bf16 split runs on (cols_e, rows_e)
-    o_rows = (lax.broadcasted_iota(jnp.int32, (rows_e, sc), 0)
-              == rcat.astype(jnp.int32)).astype(jnp.bfloat16)
-    res = _split_matmul_t(gt, o_rows)                     # (cols_e, SC)
+    # the VALUE side here is the small cotangent window, so the bf16
+    # split runs once on (cols_e, rows_e); the one-hot gather rows are
+    # exact in bf16 by construction
+    g_terms = []
+    rem = gt
+    for _ in range(_SPLIT_TERMS):
+        t_i = rem.astype(jnp.bfloat16)
+        g_terms.append(t_i)
+        rem = rem - t_i.astype(jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+    iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
 
+    def gather_row(r):
+        o = (iota_r == r.astype(jnp.int32)).astype(jnp.bfloat16)
+        acc = None
+        for t_i in g_terms:
+            part = lax.dot_general(t_i, o, dims,
+                                   preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        return acc                                        # (cols_e, C)
+
+    ps = [gather_row(r) for r in rows]
     if n_out == 2:
-        p0, p1 = res[:, :chunk], res[:, chunk:]
+        p0, p1 = ps
         v1 = (1 - dly) * p0 + dly * p1
         dus_pre = [p1 - p0]                               # d/du_y
     else:
-        p00, p01 = res[:, :chunk], res[:, chunk:2 * chunk]
-        p10, p11 = res[:, 2 * chunk:3 * chunk], res[:, 3 * chunk:]
+        p00, p01, p10, p11 = ps
         y0 = (1 - dly) * p00 + dly * p01
         y1 = (1 - dly) * p10 + dly * p11
         v1 = (1 - dlz) * y0 + dlz * y1
@@ -767,7 +781,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     if halo:
         data, slot_tile = jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         False)
+                                         False, pack_idx=True)
         )(key, *locs, ptidx)
     else:
         data, slot_tile = jax.vmap(

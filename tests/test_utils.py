@@ -18,6 +18,20 @@ def test_public_api_surface():
     assert dprast.default_backend() == "auto"
 
 
+def test_resolve_pair():
+    """Explicit names apply to both directions; 'auto' yields a pair of
+    registered names (they may differ on TPU — e.g. matmul forward +
+    binned backward at single-tile 2D grids; on CPU they coincide)."""
+    f, b = dispatch.resolve_pair("matmul", 2, (128, 128), 1000)
+    assert (f, b) == ("matmul", "matmul")
+    f, b = dispatch.resolve_pair("auto", 2, (128, 128), 100_000)
+    assert f in dispatch.available_backends()
+    assert b in dispatch.available_backends()
+    # mixing only ever happens for 'auto' at single-tile 2D grids
+    f2, b2 = dispatch.resolve_pair("auto", 3, (1024, 1024, 1024), 100_000)
+    assert f2 == b2
+
+
 def test_resolve_consistency():
     """Every registered backend that claims support must actually run the
     canonical small case."""
