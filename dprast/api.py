@@ -181,7 +181,9 @@ def raster(grid_size, points, rotation, translation, background=None,
       out_weight: scalar — or (B,) per pose. Default 1.
       point_weight: scalar or (P,) per point. Default 1.
       dtype: result dtype; defaults to the promoted input dtype (>= float32).
-      backend: 'auto' | 'xla' | 'matmul' | 'pallas' kernel strategy.
+      backend: 'auto' | 'xla' | 'matmul' | 'matmul_bf16' | 'pallas' |
+        'binned' kernel strategy ('auto' may resolve the forward and
+        backward to different strategies, `dispatch.resolve_pair`).
 
     Returns:
       (*grid_size) array for a single pose, (B, *grid_size) for a batch.

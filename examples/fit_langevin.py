@@ -100,13 +100,31 @@ def langevin_fit(target, steps=400, seed=0, step_size=5.0, noise=1e-5,
     return points, log_bw, log_w, history
 
 
+def load_image_target(path):
+    """PNG -> blurred target image, the reference's image-asset workflow
+    (`examples/logo.jl:27-38` loads julia.png, grayscales and blurs it).
+    An original asset ships at examples/data/logo.png."""
+    from PIL import Image
+
+    img = Image.open(path).convert("L").resize(GRID[::-1])
+    arr = jnp.asarray(np.asarray(img, np.float32) / 255.0)
+    arr = arr * (N_POINTS / jnp.clip(jnp.sum(arr), 1e-6))  # total mass ~ N
+    return gaussian_blur_fft(arr, 2.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--out", default="/tmp/dprast_fit")
+    ap.add_argument("--image", default=None,
+                    help="PNG target (e.g. examples/data/logo.png); "
+                         "default: procedural three-ring target")
     args = ap.parse_args()
 
-    target = make_target(jax.random.PRNGKey(42))
+    if args.image:
+        target = load_image_target(args.image)
+    else:
+        target = make_target(jax.random.PRNGKey(42))
     points, log_bw, log_w, history = langevin_fit(target, steps=args.steps)
 
     os.makedirs(args.out, exist_ok=True)
