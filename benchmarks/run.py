@@ -85,10 +85,12 @@ def _per_iter(step, *extra, k1=2, k2=6):
     return max((b2 - b1) / (k2 - k1), 1e-9)
 
 
-def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
+def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
+               with_grad=False):
     import jax
     import jax.numpy as jnp
 
+    import dprast
     from dprast.ops import dispatch
 
     backend_f, backend_b = dispatch.resolve_pair("auto", len(grid), grid,
@@ -134,6 +136,20 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd):
     except Exception as e:
         t_bwd = None
         rec["bwd_error"] = str(e)[:120]
+    if with_grad:
+        # the actual training-loop cost: one fused fwd+bwd through the
+        # public API / custom_vjp (the binned backend's pullback reuses
+        # the forward's sorted frame there, skipping the binning prep —
+        # cheaper than the standalone fwd + bwd sum above)
+        def gstep(c, gg):
+            def loss_fn(tr_):
+                out = dprast.raster(grid, pts, rot, tr_, bg, ow, pw)
+                return jnp.sum(out * gg)
+            return jax.grad(loss_fn)(tr + c * 1e-30).ravel()[0]
+        try:
+            rec["t_grad_ms"] = round(_per_iter(gstep, g) * 1e3, 3)
+        except Exception as e:
+            rec["grad_error"] = str(e)[:120]
     if t_fwd is not None and t_bwd is not None:
         rec["splats_per_s"] = splats / (t_fwd + t_bwd)
         if ref_fwd is not None:
@@ -149,6 +165,8 @@ def main():
                     help="comma-separated subset of config names")
     ap.add_argument("--out", default=None,
                     help="also append result rows to this JSON-lines file")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time the fused jax.grad training step")
     args = ap.parse_args()
     want = set(args.configs.split(",")) if args.configs else None
     rows = []
@@ -156,7 +174,7 @@ def main():
         if want and cfg[0] not in want:
             continue
         try:
-            rows.append(run_config(*cfg))
+            rows.append(run_config(*cfg, with_grad=args.grad))
         except Exception as e:  # keep going; report the failure
             rows.append({"config": cfg[0], "error": str(e)[:200]})
             print(json.dumps(rows[-1]), flush=True)

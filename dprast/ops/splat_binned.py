@@ -113,7 +113,7 @@ def supported(n_out: int, grid_size=None, n_points=None) -> bool:
     # Slot-frame padding is ~nt*chunk inert rows; measured on v5e at 10^5
     # points: 512^3 binned bwd lost to the oracle at ~10x padding, while
     # 1024^2 at 10^4 points (~4x padding) stays ~2x ahead of the oracle.
-    chunk = _default_chunk(grid_size)
+    chunk = _default_chunk(grid_size, n_points)
     if n_points is not None and nt * chunk > 8 * max(n_points, 1024):
         return False
     return True
@@ -143,13 +143,21 @@ def _interpret_default() -> bool:
         return True
 
 
-def _default_chunk(grid_size) -> int:
+def _default_chunk(grid_size, n_points=None) -> int:
     # large chunks amortise per-instance overhead; small ones waste less
     # slot padding — which the binning sort, the unsort AND the kernels
     # all pay for.  Measured on v5e at 1024^2 x 64 x 1e5: chunk 256 beats
     # 512 (prep 18->12 ms, unsort 28->17 ms, kernels +~2 ms) and 128
-    # (whose forward kernel pays +7 ms of per-instance overhead).
-    return 1024 if _single_tile(grid_size) else 256
+    # (whose forward kernel pays +7 ms of per-instance overhead).  When
+    # the point count is so small that the ~nt*chunk padding rows would
+    # outnumber the real rows (e.g. 1e4 points into 1024^2's 81 tiles),
+    # halve the chunk — padding, not per-instance overhead, dominates
+    # there.
+    if _single_tile(grid_size):
+        return 1024
+    if n_points is not None and n_tiles(grid_size) * 256 > 2 * n_points:
+        return 128
+    return 256
 
 
 # ---------------------------------------------------------------------------
@@ -594,7 +602,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     if interpret is None:
         interpret = _interpret_default()
     if chunk is None:
-        chunk = _default_chunk(grid_size)
+        chunk = _default_chunk(grid_size, points.shape[0])
     ts = tile_shape_for(grid_size)
     nt = n_tiles(grid_size, ts)
     halo = not _single_tile(grid_size)
@@ -760,7 +768,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     assert supported(n_out, grid_size), \
         f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
     if chunk is None:
-        chunk = _default_chunk(grid_size)
+        chunk = _default_chunk(grid_size, points.shape[0])
     ts = tile_shape_for(grid_size)
     nt = n_tiles(grid_size, ts)
     halo = not _single_tile(grid_size)
@@ -801,7 +809,9 @@ def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
     sorted, so the keys + big-sort prep is skipped entirely."""
     n_out = len(grid_size)
     if chunk is None:
-        chunk = _default_chunk(grid_size)
+        # must match the forward's choice (the residual frame's slot
+        # geometry bakes it in); both derive it from the same inputs
+        chunk = _default_chunk(grid_size, args[0].shape[0])
     data, slot_tile = residuals
     points, rotation, _, _, out_weight, point_weight = args
     return _pullback_from_frame(

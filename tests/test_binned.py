@@ -137,3 +137,32 @@ def test_fused_vjp_matches_standalone_pullback():
     assert np.isfinite(np.asarray(gp)).all()
     np.testing.assert_allclose(np.asarray(gp), np.asarray(res.points),
                                atol=1e-6)
+
+
+def test_prep_packed_key_matches_payload():
+    """The point-id plane riding inside the sort key (pack_idx) must
+    produce the identical frame as carrying it as a payload operand."""
+    rng = np.random.default_rng(11)
+    p, nt, chunk = 333, 7, 64
+    key = jnp.asarray(rng.integers(0, nt + 1, p), jnp.int32)  # incl. nt
+    plane = jnp.asarray(rng.standard_normal(p), jnp.float32)
+    ptidx = jnp.arange(p, dtype=jnp.float32)
+    fills = [0.0, float(p)]
+    d_packed, st_packed = splat_binned._prep_binned(
+        key, [plane, ptidx], fills, nt, chunk, True, pack_idx=True)
+    d_plain, st_plain = splat_binned._prep_binned(
+        key, [plane, ptidx], fills, nt, chunk, True, pack_idx=False)
+    np.testing.assert_array_equal(np.asarray(st_packed),
+                                  np.asarray(st_plain))
+    np.testing.assert_array_equal(np.asarray(d_packed),
+                                  np.asarray(d_plain))
+
+
+def test_default_chunk_points_aware():
+    """Sparse clouds on many-tile grids get the smaller chunk, and the
+    fused-vjp residual geometry stays consistent between the forward and
+    the pullback (both derive the chunk from the same (grid, P))."""
+    big = (1024, 1024)
+    assert splat_binned._default_chunk(big, 100_000) == 256
+    assert splat_binned._default_chunk(big, 10_000) == 128
+    assert splat_binned._default_chunk((128, 128), 10) == 1024
