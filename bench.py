@@ -11,7 +11,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -64,26 +63,10 @@ def main():
                                          ow, pw, g)
         return res.translation.ravel()[0]
 
-    def chained_time(step, a, k):
-        @jax.jit
-        def run(c0, *a):
-            return jax.lax.fori_loop(0, k, lambda i, c: step(c, *a), c0)
+    from benchmarks.timing import per_iter
 
-        float(run(jnp.float32(0), *a))  # warm (compile + first exec)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(jnp.float32(0), *a))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    def per_iter(step, a, k1=2, k2=8):
-        t1 = chained_time(step, a, k1)
-        t2 = chained_time(step, a, k2)
-        return max((t2 - t1) / (k2 - k1), 1e-9)
-
-    t_fwd = per_iter(fwd_step, args)
-    t_bwd = per_iter(bwd_step, args + (ds_dout,))
+    t_fwd = per_iter(fwd_step, *args)
+    t_bwd = per_iter(bwd_step, *(args + (ds_dout,)))
 
     splats = n_points * batch * 2 ** len(grid)
     value = splats / (t_fwd + t_bwd)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import functools
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -18,24 +17,11 @@ import numpy as np
 from jax import lax
 
 
-def chained(step, args, k):
-    @jax.jit
-    def run(c0, *a):
-        return lax.fori_loop(0, k, lambda i, c: step(c, *a), c0)
-
-    float(run(jnp.float32(0), *args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(jnp.float32(0), *args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from benchmarks.timing import per_iter as _shared_per_iter
 
 
 def per_iter(step, args, k1=2, k2=8):
-    t1 = chained(step, args, k1)
-    t2 = chained(step, args, k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    return _shared_per_iter(step, *args, k1=k1, k2=k2)
 
 
 def bench_sort(b=64, p=100_000, n_payload=3):

@@ -13,7 +13,6 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,23 +25,13 @@ from dprast.ops import splat_binned
 from dprast.ops.splat_binned import (_default_chunk, _fold, _unfold,
                                      _keys_and_local, _prep_binned,
                                      n_tiles, tile_shape_for)
+from benchmarks.timing import per_iter as _shared_per_iter
 
 
 def per_iter(step, args, k1=2, k2=6):
-    def chained(k):
-        @jax.jit
-        def run(c0, *a):
-            return lax.fori_loop(0, k, lambda i, c: step(c, *a), c0)
+    return _shared_per_iter(step, *args, k1=k1, k2=k2)
 
-        float(run(jnp.float32(0), *args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(jnp.float32(0), *args))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    return max((chained(k2) - chained(k1)) / (k2 - k1), 1e-9)
 
 
 def main():
@@ -55,7 +44,7 @@ def main():
     grid = tuple(int(x) for x in args.grid.split(","))
     n_out = len(grid)
     p, b = args.points, args.batch
-    chunk = args.chunk or _default_chunk(grid)
+    chunk = args.chunk or _default_chunk(grid, args.points)
     ts = tile_shape_for(grid)
     nt = n_tiles(grid, ts)
 

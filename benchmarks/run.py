@@ -15,12 +15,13 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+from benchmarks.timing import per_iter as _per_iter
 
 # (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms)
 CONFIGS = [
@@ -54,35 +55,6 @@ def _args_for(n_points, batch, grid, n_in):
     ow = jnp.ones((batch,), jnp.float32)
     pw = jax.random.uniform(ks[2], (n_points,), jnp.float32, 0.5, 2.0)
     return pts, rot, tr, bg, ow, pw
-
-
-def _per_iter(step, *extra, k1=2, k2=6):
-    """Per-iteration time of `step(c, *extra) -> c'` via K data-dependent
-    chained iterations inside ONE jit (fori_loop), linear-fitted over two K
-    values to cancel dispatch+fetch constants.  Large operands (e.g. the
-    cotangent) MUST ride `extra`: closure-captured arrays are embedded in
-    the compile payload and overflow the remote-compile tunnel (HTTP 413).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def chained(k):
-        @jax.jit
-        def run(c0, *e):
-            return lax.fori_loop(0, k, lambda i, c: step(c, *e), c0)
-
-        float(run(jnp.float32(0), *extra))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(jnp.float32(0), *extra))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    b1 = chained(k1)
-    b2 = chained(k2)
-    return max((b2 - b1) / (k2 - k1), 1e-9)
 
 
 def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,

@@ -50,8 +50,12 @@ def _neighbour_data(points, rotation, translation, grid_size):
     """
     n_out = len(grid_size)
     shifts = jnp.asarray(geometry.voxel_shifts(n_out))
-    q = geometry.transform_points(points, rotation, translation)
-    r0, dl = geometry.reference_voxel_and_deltas(q, grid_size)
+    # compensated double-f32 coordinates: a plain-f32 transform has
+    # ~n/2*2^-23 absolute coordinate error (3e-5 at n=1024) — above the
+    # 1e-5 parity contract on the huge grids auto-dispatch routes HERE
+    # (sparse volumes beyond the binned backend's tile bound).
+    r0, dl = geometry.pose_voxel_and_deltas(points, rotation, translation,
+                                            grid_size)
     idx = r0[..., None, :] + shifts  # (B, P, S, N_out)
     sizes = jnp.asarray(grid_size, dtype=jnp.int32)
     inb = jnp.all((idx >= 0) & (idx < sizes), axis=-1)  # (B, P, S)

@@ -106,7 +106,7 @@ def resolve(backend: str, n_out: int, grid_size=None,
             voxels *= s
         big = voxels > (256 * 256 if n_out == 2 else 32 ** 3)
         if big:
-            if splat_binned.supported(n_out, grid_size, n_points):
+            if splat_binned.profitable(n_out, grid_size, n_points):
                 return "binned"
             return "xla"
     if splat_matmul.supported(n_out):
@@ -132,7 +132,7 @@ def resolve_pair(backend: str, n_out: int, grid_size=None,
             and n_out == 2 and _on_tpu() and not jax.config.jax_enable_x64
             and splat_binned._single_tile(grid_size)
             and min(grid_size) > 64
-            and splat_binned.supported(n_out, grid_size, n_points)):
+            and splat_binned.profitable(n_out, grid_size, n_points)):
         return name, "binned"
     return name, name
 

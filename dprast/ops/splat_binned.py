@@ -97,24 +97,36 @@ def n_tiles(grid_size, ts=None):
 
 
 def supported(n_out: int, grid_size=None, n_points=None) -> bool:
-    """Any 2D/3D grid, bounded by the tile count (huge grids) and — with
-    `n_points` given — by the slot frame's padding not dwarfing the real
-    work (very sparse volumes like 10^5 points into 1024^3 stay on the
-    scatter oracle, whose cost scales with splats, not voxels)."""
+    """CAPABILITY check: any 2D/3D grid up to the tile-count bound, point
+    counts below 2^24 (point ids ride float32 planes through the binning
+    sort and the pullback unsort — beyond 2^24 neighbouring ids collide
+    and gradients would silently permute).  Whether the backend is the
+    *fastest* choice for a configuration is a separate question —
+    `profitable()` — so an explicitly requested ``backend="binned"`` is
+    honoured whenever it can run correctly."""
     if n_out not in (2, 3):
+        return False
+    if n_points is not None and n_points >= (1 << 24):
         return False
     if grid_size is None:
         return True
     if any(g < 1 for g in grid_size):
         return False
-    nt = n_tiles(grid_size)
-    if nt > 4096:
+    return n_tiles(grid_size) <= 4096
+
+
+def profitable(n_out: int, grid_size, n_points=None) -> bool:
+    """Auto-dispatch profitability on top of :func:`supported`: the slot
+    frame's ~nt*chunk inert padding rows must not dwarf the real work.
+    Measured on v5e at 10^5 points: 512^3 binned bwd lost to the scatter
+    oracle at ~10x padding, while 1024^2 at 10^4 points (~4x padding)
+    stays ~2x ahead of it (the oracle's cost scales with splats, not
+    voxels)."""
+    if not supported(n_out, grid_size, n_points):
         return False
-    # Slot-frame padding is ~nt*chunk inert rows; measured on v5e at 10^5
-    # points: 512^3 binned bwd lost to the oracle at ~10x padding, while
-    # 1024^2 at 10^4 points (~4x padding) stays ~2x ahead of the oracle.
     chunk = _default_chunk(grid_size, n_points)
-    if n_points is not None and nt * chunk > 8 * max(n_points, 1024):
+    if n_points is not None and n_tiles(grid_size) * chunk > \
+            8 * max(n_points, 1024):
         return False
     return True
 
@@ -255,8 +267,16 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
         planes = planes[:-1]
 
     iota_t = jnp.arange(nt, dtype=jnp.int32)
-    counts = jnp.sum(key[None, :] == iota_t[:, None], axis=1,
-                     dtype=jnp.int32)                     # (nt,)
+    if nt <= 256:
+        # broadcast compare-reduce: O(nt*p) but regular VPU work — faster
+        # than a scatter at small tile counts (the measured regimes)
+        counts = jnp.sum(key[None, :] == iota_t[:, None], axis=1,
+                         dtype=jnp.int32)                 # (nt,)
+    else:
+        # O(p) histogram for many-tile grids (supported() admits up to
+        # 4096 tiles, where the compare-reduce would do nt*p ~ 4e8 ops)
+        counts = jnp.zeros((nt,), jnp.int32).at[key].add(
+            1, mode="drop")                               # key==nt dropped
     padded = -(-counts // chunk) * chunk
     if min_chunk_per_tile:
         padded = jnp.maximum(padded, chunk)
