@@ -166,3 +166,18 @@ def test_default_chunk_points_aware():
     assert splat_binned._default_chunk(big, 100_000) == 256
     assert splat_binned._default_chunk(big, 10_000) == 128
     assert splat_binned._default_chunk((128, 128), 10) == 1024
+
+
+def test_explicit_binned_honoured_when_unprofitable():
+    """An explicit backend='binned' request must be honoured whenever the
+    backend CAN run it, even where auto-dispatch would deem it
+    unprofitable (regression: the padding-ratio heuristic used to reject
+    explicit requests with a misleading 'does not support' error)."""
+    grid = (1024, 1024)
+    assert not splat_binned.profitable(2, grid, 1000)
+    assert splat_binned.supported(2, grid, 1000)
+    assert dispatch.resolve("binned", 2, grid, 1000) == "binned"
+    # capability limits still reject: f32 point ids collide at >= 2^24
+    assert not splat_binned.supported(2, grid, 1 << 24)
+    with pytest.raises(ValueError, match="does not support"):
+        dispatch.resolve("binned", 2, grid, 1 << 24)
