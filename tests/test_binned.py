@@ -181,3 +181,31 @@ def test_explicit_binned_honoured_when_unprofitable():
     assert not splat_binned.supported(2, grid, 1 << 24)
     with pytest.raises(ValueError, match="does not support"):
         dispatch.resolve("binned", 2, grid, 1 << 24)
+
+
+@pytest.mark.parametrize("grid", [(300, 200), (128, 128, 128)])
+def test_fold_unfold_exact_adjoints(grid):
+    """<u, fold(x)> == <unfold(u), x> exactly (same sum order): the
+    backward's window extraction is the exact adjoint of the forward's
+    window summation, so OOB-drop semantics and halo accounting agree
+    between the two directions by construction."""
+    ts = splat_binned.tile_shape_for(grid)
+    nt = splat_binned.n_tiles(grid, ts)
+    if len(grid) == 2:
+        rows_e = ts[0] + 1
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+    cols_e = ts[-1] + 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, nt, rows_e, cols_e)))
+    u = jnp.asarray(rng.standard_normal((2,) + grid))
+    lhs = np.vdot(np.asarray(u),
+                  np.asarray(splat_binned._fold(x, grid, ts, True)))
+    rhs = np.vdot(np.asarray(splat_binned._unfold(u, grid, ts)),
+                  np.asarray(x))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # transposed=True only permutes the window axes
+    ut = splat_binned._unfold(u, grid, ts, transposed=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(ut, -1, -2)),
+        np.asarray(splat_binned._unfold(u, grid, ts)))
