@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -55,8 +56,6 @@ def make_mesh(n_poses_shards: int | None = None,
     if n_poses_shards * n_points_shards != n:
         raise ValueError(
             f"mesh {n_poses_shards}x{n_points_shards} != {n} devices")
-    import numpy as np
-
     dev_grid = np.asarray(devices).reshape(n_poses_shards, n_points_shards)
     return Mesh(dev_grid, (POSES_AXIS, POINTS_AXIS))
 
@@ -98,7 +97,21 @@ def shard_raster_args(mesh: Mesh, points, rotation, translation, background,
     out_weight = _pad_to_multiple(out_weight, nb_shards)
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        # Multi-process meshes: `device_put` cannot reshard onto devices
+        # this process does not address; assemble the global array from
+        # the (process-replicated) host value instead.  Tracers (e.g.
+        # `jax.grad` through `raster_sharded` — wrap it in `jax.jit` on
+        # multi-process runs) and single-process meshes keep the plain
+        # `device_put`, which also works under tracing.
+        from jax._src import core as _core
+        if (not isinstance(x, jax.core.Tracer)
+                and _core.trace_state_clean()  # not under jit/grad trace
+                and not sh.is_fully_addressable):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx])
+        return jax.device_put(x, sh)
 
     placed = (
         put(points, P(POINTS_AXIS, None)),
