@@ -51,7 +51,15 @@ val = float(loss(pts))                      # eager cross-process path
 grad = jax.jit(jax.grad(loss))(pts)         # traced path (jit required
                                             # for multi-process grads)
 gsum = float(jnp.vdot(grad, pts))
-print(json.dumps({"pid": pid, "val": val, "gsum": gsum}), flush=True)
+
+def loss_binned(p):                         # Pallas kernels per shard
+    out = raster_sharded((16, 16), p, rot, tr, mesh=mesh,
+                         backend="binned")
+    return jnp.sum(out ** 2)
+
+val_binned = float(loss_binned(pts))
+print(json.dumps({"pid": pid, "val": val, "gsum": gsum,
+                  "val_binned": val_binned}), flush=True)
 """
 
 
@@ -87,6 +95,7 @@ def test_two_process_group_matches_single():
     # both processes computed the same replicated results
     assert outs[0]["val"] == pytest.approx(outs[1]["val"], rel=1e-6)
     assert outs[0]["gsum"] == pytest.approx(outs[1]["gsum"], rel=1e-6)
+    assert outs[0]["val_binned"] == pytest.approx(outs[0]["val"], rel=1e-5)
 
     # single-process reference (this process: plain raster, no mesh)
     import jax
