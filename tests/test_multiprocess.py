@@ -71,7 +71,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(300)
 def test_two_process_group_matches_single():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"localhost:{_free_port()}"
