@@ -20,7 +20,8 @@ import functools
 
 import jax
 
-from dprast.ops import core, pallas_splat, splat_binned, splat_matmul
+from dprast.ops import (core, geometry, pallas_splat, splat_binned,
+                        splat_matmul)
 
 _REGISTRY = {}
 
@@ -69,10 +70,7 @@ def default_backend() -> str:
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover - defensive
-        return False
+    return geometry.on_tpu()
 
 
 def resolve(backend: str, n_out: int, grid_size=None,

@@ -28,6 +28,25 @@ import jax
 import jax.numpy as jnp
 
 
+def on_tpu() -> bool:
+    """True when the default backend is a TPU-like platform (including the
+    'axon' remote plugin).  The single shared probe — dispatch and the
+    Pallas backends must agree on it or kernels silently run in interpret
+    mode / mis-dispatch."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+def vma_union(*like) -> frozenset:
+    """Union of the varying-manual-axes of `like` (shard_map vma typing)."""
+    vma = frozenset()
+    for a in like:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
+
+
 def zeros_vma(shape, dtype, *like):
     """`jnp.zeros` whose varying-manual-axes match the union of `like`'s.
 
@@ -37,9 +56,7 @@ def zeros_vma(shape, dtype, *like):
     the mesh axes of the inputs.
     """
     z = jnp.zeros(shape, dtype)
-    vma = frozenset()
-    for a in like:
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(*like)
     if vma:
         z = jax.lax.pcast(z, tuple(vma), to="varying")
     return z

@@ -29,6 +29,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dprast.ops import geometry
 from dprast.ops.core import PullbackResult
 
 # Precision modes for the in-kernel matmuls:
@@ -54,10 +55,7 @@ _DEF_CHUNK = 1024
 
 def _interpret_default() -> bool:
     """Pallas TPU kernels run via the interpreter off-TPU (tests/CI)."""
-    try:
-        return jax.default_backend() not in ("tpu", "axon")
-    except Exception:  # pragma: no cover - defensive
-        return True
+    return not geometry.on_tpu()
 
 
 def supported(n_out: int, grid_size=None) -> bool:

@@ -140,19 +140,14 @@ def _out_struct(shape, dtype, *like):
     required under `jax.shard_map` (check_vma=True), where a pallas_call
     must declare how its output varies over the mesh axes (per-shard
     binning over the points axis, SURVEY §7.5)."""
-    vma = frozenset()
-    for a in like:
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = geometry.vma_union(*like)
     if not vma:
         return jax.ShapeDtypeStruct(shape, dtype)
     return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _interpret_default() -> bool:
-    try:
-        return jax.default_backend() not in ("tpu", "axon")
-    except Exception:  # pragma: no cover - defensive
-        return True
+    return not geometry.on_tpu()
 
 
 def _default_chunk(grid_size, n_points=None) -> int:
@@ -333,11 +328,6 @@ def _prep_direct(planes, fills, chunk):
     return data, jnp.zeros((p_pad // chunk,), jnp.int32)
 
 
-# ---------------------------------------------------------------------------
-# shared kernel math
-# ---------------------------------------------------------------------------
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +402,12 @@ def _planes_fwd(data, ts, n_out):
     for c in coeffs:
         a_full.append(c * (1 - dlx))
         a_full.append(c * dlx)
-    hi = [a.astype(jnp.bfloat16) for a in a_full]
-    lo = [(a - h.astype(f32)).astype(jnp.bfloat16)
-          for a, h in zip(a_full, hi)]
+    # hi via lax.reduce_precision: an astype round-trip (a - bf16(a))
+    # is exactly the convert pair XLA's excess-precision pass may elide,
+    # which would silently collapse lo to 0 (see splat_matmul's split)
+    hi_f32 = [lax.reduce_precision(a, 8, 7) for a in a_full]
+    hi = [h.astype(jnp.bfloat16) for h in hi_f32]
+    lo = [(a - h).astype(jnp.bfloat16) for a, h in zip(a_full, hi_f32)]
     return (jnp.stack(lane, axis=1),
             jnp.stack(hi + lo, axis=1),
             ix0.astype(f32)[..., None])
@@ -617,8 +610,9 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
               out_weight, point_weight, *, chunk, interpret,
               with_residuals):
     n_out = len(grid_size)
-    assert supported(n_out, grid_size), \
-        f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
+    assert supported(n_out, grid_size, points.shape[0]), \
+        f"binned backend does not support grid={grid_size} " \
+        f"P={points.shape[0]}"
     if interpret is None:
         interpret = _interpret_default()
     if chunk is None:
@@ -785,8 +779,9 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                     interpret: bool | None = None) -> PullbackResult:
     """Analytic pullback -> PullbackResult (all six gradients)."""
     n_out = len(grid_size)
-    assert supported(n_out, grid_size), \
-        f"binned backend needs a tile-aligned 2D/3D grid, got {grid_size}"
+    assert supported(n_out, grid_size, points.shape[0]), \
+        f"binned backend does not support grid={grid_size} " \
+        f"P={points.shape[0]}"
     if chunk is None:
         chunk = _default_chunk(grid_size, points.shape[0])
     ts = tile_shape_for(grid_size)

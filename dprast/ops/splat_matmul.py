@@ -109,7 +109,9 @@ def _pick_chunk(n_points: int, batch: int, grid_size) -> int:
     budget = 128 * 1024 * 1024
     chunk = budget // max(1, 4 * batch * width)
     chunk = max(8, min(n_points, chunk))
-    return min(int(-(-n_points // 8) * 8), int(-(-chunk // 8) * 8))
+    # lower bound 8 also covers the degenerate P=0 call (a zero chunk
+    # would divide by zero in _chunked)
+    return max(8, min(int(-(-n_points // 8) * 8), int(-(-chunk // 8) * 8)))
 
 
 def _chunked(points, point_weight, chunk):

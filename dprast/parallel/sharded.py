@@ -60,6 +60,19 @@ def make_mesh(n_poses_shards: int | None = None,
     return Mesh(dev_grid, (POSES_AXIS, POINTS_AXIS))
 
 
+def _under_trace() -> bool:
+    """True inside a jit/grad trace (constants must then stay host-local:
+    global arrays created at trace time become non-addressable jit
+    constants XLA cannot fetch).  Uses a private JAX probe with a
+    conservative fallback — `put` additionally guards the global-array
+    path with try/except."""
+    try:  # pragma: no branch
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:  # pragma: no cover - private API moved
+        return False
+
+
 def _pad_to_multiple(x, multiple, axis=0, fill=0.0):
     size = x.shape[axis]
     target = -(-size // multiple) * multiple
@@ -104,13 +117,14 @@ def shard_raster_args(mesh: Mesh, points, rotation, translation, background,
         # `jax.grad` through `raster_sharded` — wrap it in `jax.jit` on
         # multi-process runs) and single-process meshes keep the plain
         # `device_put`, which also works under tracing.
-        from jax._src import core as _core
-        if (not isinstance(x, jax.core.Tracer)
-                and _core.trace_state_clean()  # not under jit/grad trace
+        if (not isinstance(x, jax.core.Tracer) and not _under_trace()
                 and not sh.is_fully_addressable):
             arr = np.asarray(x)
-            return jax.make_array_from_callback(
-                arr.shape, sh, lambda idx: arr[idx])
+            try:
+                return jax.make_array_from_callback(
+                    arr.shape, sh, lambda idx: arr[idx])
+            except Exception:  # pragma: no cover - trace-detect fallback
+                pass
         return jax.device_put(x, sh)
 
     placed = (
@@ -141,6 +155,16 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
         point_weight, dtype)
     if not batched:
         raise ValueError("raster_sharded requires batched poses")
+    if args[0].shape[0] == 0:
+        # empty cloud: the background image, sharded over poses (mirrors
+        # api.raster's guard; backends chunk by points and cannot run P=0)
+        dispatch.resolve(backend, len(grid_size), grid_size, 0)  # validate
+        b = args[1].shape[0]
+        out = jnp.broadcast_to(
+            args[3].reshape((b,) + (1,) * len(grid_size)),
+            (b,) + grid_size)
+        # replicated placement: valid for any batch vs poses-axis size
+        return jax.device_put(out, NamedSharding(mesh, P()))
     args, n_points, b = shard_raster_args(mesh, *args)
     resolved = dispatch.resolve(backend, len(grid_size), grid_size,
                                 n_points)

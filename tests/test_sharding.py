@@ -130,3 +130,14 @@ def test_sharded_binned_backend():
     for a, b in zip(g_sh, g_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_sharded_empty_cloud():
+    """P=0 returns the background image (regression: the matmul backend's
+    chunking divided by zero through the sharded path)."""
+    mesh = make_mesh(2, 4)
+    out = raster_sharded((8, 8), jnp.zeros((0, 2)),
+                         jnp.tile(jnp.eye(2)[None], (4, 1, 1)),
+                         jnp.zeros((4, 2)), 3.0, mesh=mesh)
+    assert out.shape == (4, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
