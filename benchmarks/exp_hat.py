@@ -41,9 +41,13 @@ def _planes_fwd_hat(data, ts, n_out):
     f32 = jnp.float32
     ix0, dlx = sb._decode_coord(data[:, n_out - 1])
     w = data[:, n_out]
-    assert n_out == 2, "experiment covers the 2D kernel"
-    iy0, dly = sb._decode_coord(data[:, 0])
-    lane = [iy0.astype(f32), dly, w]
+    if n_out == 2:
+        iy0, dly = sb._decode_coord(data[:, 0])
+        lane = [iy0.astype(f32), dly, w]
+    else:
+        iz0, dlz = sb._decode_coord(data[:, 0])
+        iy0, dly = sb._decode_coord(data[:, 1])
+        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w]
     sub = jnp.stack([ix0.astype(f32), dlx], axis=-1)       # (B, s, 2)
     return (jnp.stack(lane, axis=1),
             jnp.zeros(w.shape, jnp.bfloat16)[:, None],     # unused
@@ -59,21 +63,39 @@ def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
     first = jnp.logical_or(s == 0, t_cur != t_prev)
 
     cols_e = ts[-1] + (1 if halo else 0)
-    rows_e = ts[0] + (1 if halo else 0)
     lane = lane_ref[0]
-    iy0 = lane[0:1, :].astype(jnp.int32)                   # (1, C)
-    dly = lane[1:2, :]
-    w = lane[2:3, :]
-    iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
-    # hat rows: weight at row r = relu(1 - |(iy0 - r) + dly|); iy0 - r is
-    # an exact small int, dly exact f32 -> the sum is exact where the hat
-    # is nonzero.  Inert rows (iy0 = -3) never reach |.| < 1.
-    hy = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
-                                   + dly), 0.0)            # (rows_e, C)
+    # hat rows: weight at row r = relu(1 - |(r0 - r) + dl|); r0 - r is an
+    # exact small int, dl exact f32 -> the sum is exact where the hat is
+    # nonzero.  Inert rows (r0 = -3) never reach |.| < 1.
+    if n_out == 2:
+        rows_e = ts[0] + (1 if halo else 0)
+        iy0 = lane[0:1, :].astype(jnp.int32)               # (1, C)
+        dly = lane[1:2, :]
+        w = lane[2:3, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
+                                      + dly), 0.0) * w     # (rows_e, C)
+    else:
+        # flattened (z, y) stencil rows; ty+1 is a power of two by tile
+        # design so row -> (z, y) is a shift + mask
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+        tyq = ts[1] + 1
+        iz0 = lane[0:1, :].astype(jnp.int32)
+        dlz = lane[1:2, :]
+        iy0 = lane[2:3, :].astype(jnp.int32)
+        dly = lane[3:4, :]
+        w = lane[4:5, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        z_r = iota_r // tyq
+        y_r = iota_r % tyq
+        hz = jnp.maximum(1.0 - jnp.abs((iz0 - z_r).astype(jnp.float32)
+                                       + dlz), 0.0)
+        hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
+                                       + dly), 0.0)
+        m = hz * hy * w
     # value side formed in f32 THEN split (a bf16*bf16 elementwise
     # product would round uncompensated; the MXU products below are
     # exact with f32 accumulation)
-    m = hy * w
     mh = m.astype(jnp.bfloat16)
     ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -109,7 +131,10 @@ def run(grid, p, b, interpret):
     ts = sb.tile_shape_for(grid)
     nt = sb.n_tiles(grid, ts)
     halo = not sb._single_tile(grid)
-    rows_e = ts[0] + (1 if halo else 0)
+    if n_out == 2:
+        rows_e = ts[0] + (1 if halo else 0)
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
     cols_e = ts[-1] + (1 if halo else 0)
 
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
