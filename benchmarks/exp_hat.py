@@ -24,6 +24,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if "--interpret" in sys.argv:
+    # the env var alone does not beat pre-registered platform plugins
+    # (the axon tunnel); the config update does
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -52,6 +57,90 @@ def _planes_fwd_hat(data, ts, n_out):
     return (jnp.stack(lane, axis=1),
             jnp.zeros(w.shape, jnp.bfloat16)[:, None],     # unused
             sub)
+
+
+def _planes_fwd_hatrow(data, ts, n_out):
+    """Hatrow-kernel feeds: lane rows carry the decoded row-axis hat
+    parameters plus w and dlx (the x split factors are applied in-kernel
+    as (1, C) lane broadcasts); sub carries the ix0 column (pure one-hot
+    x side, exactly as production)."""
+    f32 = jnp.float32
+    ix0, dlx = sb._decode_coord(data[:, n_out - 1])
+    w = data[:, n_out]
+    if n_out == 2:
+        iy0, dly = sb._decode_coord(data[:, 0])
+        lane = [iy0.astype(f32), dly, w, dlx]
+    else:
+        iz0, dlz = sb._decode_coord(data[:, 0])
+        iy0, dly = sb._decode_coord(data[:, 1])
+        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w, dlx]
+    return (jnp.stack(lane, axis=1),
+            jnp.zeros(w.shape, jnp.bfloat16)[:, None],     # unused
+            ix0.astype(f32)[..., None])
+
+
+def _fwd_kernel_hatrow(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *,
+                       ts, chunk, halo, n_out):
+    """Hat construction on the ROW side only; the x columns stay pure
+    {0, 1} one-hots, so every matmul is (bf16-split value) x (exact
+    one-hot) — the same error contract as the production kernel."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t_cur = st_ref[b, s]
+    t_prev = st_ref[b, jnp.maximum(s - 1, 0)]
+    first = jnp.logical_or(s == 0, t_cur != t_prev)
+
+    cols_e = ts[-1] + (1 if halo else 0)
+    lane = lane_ref[0]
+    if n_out == 2:
+        rows_e = ts[0] + (1 if halo else 0)
+        iy0 = lane[0:1, :].astype(jnp.int32)
+        dly = lane[1:2, :]
+        w = lane[2:3, :]
+        dlx = lane[3:4, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
+                                      + dly), 0.0) * w     # (rows_e, C)
+    else:
+        rows_e = (ts[0] + 1) * (ts[1] + 1)
+        tyq = ts[1] + 1
+        iz0 = lane[0:1, :].astype(jnp.int32)
+        dlz = lane[1:2, :]
+        iy0 = lane[2:3, :].astype(jnp.int32)
+        dly = lane[3:4, :]
+        w = lane[4:5, :]
+        dlx = lane[5:6, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        z_r = iota_r // tyq
+        y_r = iota_r % tyq
+        hz = jnp.maximum(1.0 - jnp.abs((iz0 - z_r).astype(jnp.float32)
+                                       + dlz), 0.0)
+        hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
+                                       + dly), 0.0)
+        m = hz * hy * w
+
+    lo, hi = sb._x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
+    xs = [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
+    cxs = [1.0 - dlx, dlx]
+
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for j in (0, 1):
+        mj = m * cxs[j]
+        mh = mj.astype(jnp.bfloat16)
+        ml = (mj - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        for half in (mh, ml):
+            part = lax.dot_general(half, xs[j], dims,
+                                   preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+
+    @pl.when(first)
+    def _():
+        ext_ref[0, 0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ext_ref[0, 0] = ext_ref[0, 0] + acc
 
 
 def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
@@ -200,10 +289,14 @@ def run(grid, p, b, interpret):
 
     ext_ref = call(sb._fwd_kernel, sb._planes_fwd, "prod")
     ext_hat = call(_fwd_kernel_hat, _planes_fwd_hat, "hat")
-    err = float(jnp.max(jnp.abs(ext_ref - ext_hat))
-                / jnp.maximum(jnp.max(jnp.abs(ext_ref)), 1e-9))
-    print(f"hat vs prod normalized max err: {err:.3e}", flush=True)
+    ext_hr = call(_fwd_kernel_hatrow, _planes_fwd_hatrow, "hatrow")
+    scale = float(jnp.maximum(jnp.max(jnp.abs(ext_ref)), 1e-9))
+    err = float(jnp.max(jnp.abs(ext_ref - ext_hat))) / scale
+    err_hr = float(jnp.max(jnp.abs(ext_ref - ext_hr))) / scale
+    print(f"hat    vs prod normalized max err: {err:.3e}", flush=True)
+    print(f"hatrow vs prod normalized max err: {err_hr:.3e}", flush=True)
     assert err < 3e-5, err
+    assert err_hr < 3e-6, err_hr  # same split-vs-one-hot contract as prod
 
 
 def main():
