@@ -1,15 +1,21 @@
-"""Experiment: hat-function weight construction for the binned forward.
+"""Experiment: weight-construction variants for the binned forward kernel.
 
-The production kernel builds per-branch one-hot ROW matrices with integer
-compares and multiplies values in afterwards (`o_s[i] * a`).  The bilinear
-weight can instead be built directly as a hat function,
+The production kernel (since the hatrow adoption) builds the weighted row
+matrix directly as a hat function,
 
     weight(pos) = relu(1 - |(r0 - pos) + dl|)
 
 where ``r0 - pos`` is an exact small integer and ``dl`` an exact f32 — so
-the construction is exact to f32 like the compare form, but costs ~6 VPU
-ops per plane instead of ~10-16.  This script cross-checks the hat kernel
-against the production kernel in interpret mode and times both on TPU.
+the construction is exact to f32, while the x side stays a pure {0, 1}
+one-hot column pair (the exact bf16-split matmul contract).  This script
+cross-checks and times the production kernel against two alternatives:
+
+- ``onehot``: the pre-hatrow production design — per-branch one-hot ROW
+  matrices from integer compares, multiplied by 4S precomputed bf16-split
+  coefficient lane planes shipped from XLA.
+- ``hat``: hat construction on BOTH sides (x too), 3 matmuls instead of 4
+  but values on both matmul operands — measured ~1e-5 off the exact form
+  (outside the parity budget; kept for the timing data point).
 
 Usage: python benchmarks/exp_hat.py [--grid 1024,1024] [--interpret]
 """
@@ -39,51 +45,40 @@ from benchmarks.timing import per_iter
 from dprast.ops import splat_binned as sb
 
 
-def _planes_fwd_hat(data, ts, n_out):
-    """Hat-kernel feeds: lane rows carry (r0_y, dl_y) [+ z planes in 3D]
-    and the 2S bf16-split branch coefficients c_s (WITHOUT the x factor);
-    sub carries (r0_x, dl_x) columns."""
+# ---------------------------------------------------------------------------
+# legacy "onehot" variant (the pre-hatrow production kernel)
+# ---------------------------------------------------------------------------
+
+
+def _planes_fwd_onehot(data, ts, n_out):
+    """lane: the S row targets (2D: iy0; 3D: 4 flat (z,y) stencil rows);
+    lanev: the 4S bf16-split splat-coefficient lane rows (branch-major,
+    x-neighbour fastest, then hi/lo halves); sub: the ix0 column."""
     f32 = jnp.float32
     ix0, dlx = sb._decode_coord(data[:, n_out - 1])
     w = data[:, n_out]
     if n_out == 2:
         iy0, dly = sb._decode_coord(data[:, 0])
-        lane = [iy0.astype(f32), dly, w]
+        lane = [iy0.astype(f32)]
+        coeffs = [(1 - dly) * w, dly * w]
     else:
         iz0, dlz = sb._decode_coord(data[:, 0])
         iy0, dly = sb._decode_coord(data[:, 1])
-        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w]
-    sub = jnp.stack([ix0.astype(f32), dlx], axis=-1)       # (B, s, 2)
-    return (jnp.stack(lane, axis=1),
-            jnp.zeros(w.shape, jnp.bfloat16)[:, None],     # unused
-            sub)
+        lane, wzy = sb._flat_rows_3d(iz0, dlz, iy0, dly, ts)
+        coeffs = [c * w for c in wzy]
+    a_full = []
+    for c in coeffs:
+        a_full.append(c * (1 - dlx))
+        a_full.append(c * dlx)
+    hi_f32 = [lax.reduce_precision(a, 8, 7) for a in a_full]
+    hi = [h.astype(jnp.bfloat16) for h in hi_f32]
+    lo = [(a - h).astype(jnp.bfloat16) for a, h in zip(a_full, hi_f32)]
+    return [jnp.stack(lane, axis=1),
+            jnp.stack(hi + lo, axis=1)], ix0.astype(f32)[..., None]
 
 
-def _planes_fwd_hatrow(data, ts, n_out):
-    """Hatrow-kernel feeds: lane rows carry the decoded row-axis hat
-    parameters plus w and dlx (the x split factors are applied in-kernel
-    as (1, C) lane broadcasts); sub carries the ix0 column (pure one-hot
-    x side, exactly as production)."""
-    f32 = jnp.float32
-    ix0, dlx = sb._decode_coord(data[:, n_out - 1])
-    w = data[:, n_out]
-    if n_out == 2:
-        iy0, dly = sb._decode_coord(data[:, 0])
-        lane = [iy0.astype(f32), dly, w, dlx]
-    else:
-        iz0, dlz = sb._decode_coord(data[:, 0])
-        iy0, dly = sb._decode_coord(data[:, 1])
-        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w, dlx]
-    return (jnp.stack(lane, axis=1),
-            jnp.zeros(w.shape, jnp.bfloat16)[:, None],     # unused
-            ix0.astype(f32)[..., None])
-
-
-def _fwd_kernel_hatrow(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *,
+def _fwd_kernel_onehot(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *,
                        ts, chunk, halo, n_out):
-    """Hat construction on the ROW side only; the x columns stay pure
-    {0, 1} one-hots, so every matmul is (bf16-split value) x (exact
-    one-hot) — the same error contract as the production kernel."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
@@ -91,46 +86,33 @@ def _fwd_kernel_hatrow(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *,
     first = jnp.logical_or(s == 0, t_cur != t_prev)
 
     cols_e = ts[-1] + (1 if halo else 0)
-    lane = lane_ref[0]
+    lane = lane_ref[0]                                    # (S, C) f32
     if n_out == 2:
         rows_e = ts[0] + (1 if halo else 0)
-        iy0 = lane[0:1, :].astype(jnp.int32)
-        dly = lane[1:2, :]
-        w = lane[2:3, :]
-        dlx = lane[3:4, :]
-        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
-        m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
-                                      + dly), 0.0) * w     # (rows_e, C)
+        rows = [lane[0:1, :], lane[0:1, :] + 1]
     else:
         rows_e = (ts[0] + 1) * (ts[1] + 1)
-        tyq = ts[1] + 1
-        iz0 = lane[0:1, :].astype(jnp.int32)
-        dlz = lane[1:2, :]
-        iy0 = lane[2:3, :].astype(jnp.int32)
-        dly = lane[3:4, :]
-        w = lane[4:5, :]
-        dlx = lane[5:6, :]
-        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
-        z_r = iota_r // tyq
-        y_r = iota_r % tyq
-        hz = jnp.maximum(1.0 - jnp.abs((iz0 - z_r).astype(jnp.float32)
-                                       + dlz), 0.0)
-        hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
-                                       + dly), 0.0)
-        m = hz * hy * w
+        rows = [lane[i:i + 1, :] for i in range(4)]
+    n_br = len(rows)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+    o_s = [(iota_r == r.astype(jnp.int32)).astype(jnp.bfloat16)
+           for r in rows]
 
     lo, hi = sb._x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
     xs = [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
-    cxs = [1.0 - dlx, dlx]
 
+    vals = lanev_ref[0]                                   # (4S, C) bf16
     dims = (((1,), (0,)), ((), ()))
     acc = None
     for j in (0, 1):
-        mj = m * cxs[j]
-        mh = mj.astype(jnp.bfloat16)
-        ml = (mj - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-        for half in (mh, ml):
-            part = lax.dot_general(half, xs[j], dims,
+        for half in (0, 1):
+            m = None
+            for i in range(n_br):
+                a = vals[half * 2 * n_br + 2 * i + j:
+                         half * 2 * n_br + 2 * i + j + 1, :]
+                term = o_s[i] * a
+                m = term if m is None else m + term
+            part = lax.dot_general(m, xs[j], dims,
                                    preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
 
@@ -143,7 +125,29 @@ def _fwd_kernel_hatrow(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *,
         ext_ref[0, 0] = ext_ref[0, 0] + acc
 
 
-def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
+# ---------------------------------------------------------------------------
+# both-sides "hat" variant (x side hat too; 3 matmuls, looser error)
+# ---------------------------------------------------------------------------
+
+
+def _planes_fwd_hat(data, ts, n_out):
+    """Hat-kernel feeds: lane rows carry (r0_y, dl_y) [+ z planes in 3D]
+    and w; sub carries (r0_x, dl_x) columns."""
+    f32 = jnp.float32
+    ix0, dlx = sb._decode_coord(data[:, n_out - 1])
+    w = data[:, n_out]
+    if n_out == 2:
+        iy0, dly = sb._decode_coord(data[:, 0])
+        lane = [iy0.astype(f32), dly, w]
+    else:
+        iz0, dlz = sb._decode_coord(data[:, 0])
+        iy0, dly = sb._decode_coord(data[:, 1])
+        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w]
+    sub = jnp.stack([ix0.astype(f32), dlx], axis=-1)       # (B, s, 2)
+    return [jnp.stack(lane, axis=1)], sub
+
+
+def _fwd_kernel_hat(st_ref, lane_ref, sub_ref, ext_ref, *, ts,
                     chunk, halo, n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -153,9 +157,6 @@ def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
 
     cols_e = ts[-1] + (1 if halo else 0)
     lane = lane_ref[0]
-    # hat rows: weight at row r = relu(1 - |(r0 - r) + dl|); r0 - r is an
-    # exact small int, dl exact f32 -> the sum is exact where the hat is
-    # nonzero.  Inert rows (r0 = -3) never reach |.| < 1.
     if n_out == 2:
         rows_e = ts[0] + (1 if halo else 0)
         iy0 = lane[0:1, :].astype(jnp.int32)               # (1, C)
@@ -165,8 +166,6 @@ def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
         m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
                                       + dly), 0.0) * w     # (rows_e, C)
     else:
-        # flattened (z, y) stencil rows; ty+1 is a power of two by tile
-        # design so row -> (z, y) is a shift + mask
         rows_e = (ts[0] + 1) * (ts[1] + 1)
         tyq = ts[1] + 1
         iz0 = lane[0:1, :].astype(jnp.int32)
@@ -182,9 +181,6 @@ def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
         hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
                                        + dly), 0.0)
         m = hz * hy * w
-    # value side formed in f32 THEN split (a bf16*bf16 elementwise
-    # product would round uncompensated; the MXU products below are
-    # exact with f32 accumulation)
     mh = m.astype(jnp.bfloat16)
     ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -212,6 +208,11 @@ def _fwd_kernel_hat(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
     @pl.when(jnp.logical_not(first))
     def _():
         ext_ref[0, 0] = ext_ref[0, 0] + acc
+
+
+def _planes_fwd_prod(data, ts, n_out):
+    lane, sub = sb._planes_fwd(data, ts, n_out)
+    return [lane], sub
 
 
 def run(grid, p, b, interpret):
@@ -248,22 +249,20 @@ def run(grid, p, b, interpret):
     print(f"grid={grid} chunk={chunk} s_pad={s_pad}", flush=True)
 
     def call(kern, planes_fn, label):
-        lane, lanev, sub = jax.jit(
+        lanes, sub = jax.jit(
             lambda d: planes_fn(d, ts, n_out))(data[:, :n_out + 1])
 
-        def f(lane_, lanev_, sub_, st_):
+        def f(sub_, st_, *lanes_):
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b, n_slots),
-                in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
+                in_specs=[pl.BlockSpec((1, ln.shape[1], chunk),
                                        lambda bb, s, st: (bb, 0, s),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, lanev_.shape[1], chunk),
-                                       lambda bb, s, st: (bb, 0, s),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, chunk, sub_.shape[-1]),
-                                       lambda bb, s, st: (bb, s, 0),
-                                       memory_space=pltpu.VMEM)],
+                                       memory_space=pltpu.VMEM)
+                          for ln in lanes_]
+                + [pl.BlockSpec((1, chunk, sub_.shape[-1]),
+                                lambda bb, s, st: (bb, s, 0),
+                                memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((1, 1, rows_e, cols_e),
                                        lambda bb, s, st:
                                        (bb, st[bb, s], 0, 0),
@@ -276,27 +275,27 @@ def run(grid, p, b, interpret):
                 out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
                                                jnp.float32),
                 interpret=interpret,
-            )(st_, lane_, lanev_, sub_)
+            )(st_, *lanes_, sub_)
 
-        ext = jax.jit(f)(lane, lanev, sub, slot_tile)
+        ext = jax.jit(f)(sub, slot_tile, *lanes)
         ext.block_until_ready()
         if not interpret:
-            t = per_iter(lambda c, l_, lv, su, st_: f(
-                l_ + c * 1e-30, lv, su, st_).ravel()[0],
-                lane, lanev, sub, slot_tile)
+            t = per_iter(lambda c, su, st_, l0, *rest: f(
+                su, st_, l0 + c * 1e-30, *rest),
+                sub, slot_tile, *lanes)
             print(f"{label:10s} {t*1e3:8.2f} ms", flush=True)
         return ext
 
-    ext_ref = call(sb._fwd_kernel, sb._planes_fwd, "prod")
+    ext_ref = call(sb._fwd_kernel, _planes_fwd_prod, "prod")
+    ext_oh = call(_fwd_kernel_onehot, _planes_fwd_onehot, "onehot")
     ext_hat = call(_fwd_kernel_hat, _planes_fwd_hat, "hat")
-    ext_hr = call(_fwd_kernel_hatrow, _planes_fwd_hatrow, "hatrow")
     scale = float(jnp.maximum(jnp.max(jnp.abs(ext_ref)), 1e-9))
+    err_oh = float(jnp.max(jnp.abs(ext_ref - ext_oh))) / scale
     err = float(jnp.max(jnp.abs(ext_ref - ext_hat))) / scale
-    err_hr = float(jnp.max(jnp.abs(ext_ref - ext_hr))) / scale
+    print(f"onehot vs prod normalized max err: {err_oh:.3e}", flush=True)
     print(f"hat    vs prod normalized max err: {err:.3e}", flush=True)
-    print(f"hatrow vs prod normalized max err: {err_hr:.3e}", flush=True)
+    assert err_oh < 1e-7, err_oh  # same exact-split contract
     assert err < 3e-5, err
-    assert err_hr < 3e-6, err_hr  # same split-vs-one-hot contract as prod
 
 
 def main():

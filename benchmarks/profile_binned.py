@@ -95,21 +95,18 @@ def main():
     cols_e = ts[-1] + (1 if halo else 0)
     n_slots = s_pad // chunk
 
-    lane, lanev, sub = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
+    lane, sub = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
         data[:, :n_out + 1])
     lane.block_until_ready()
     t = per_iter(lambda c, d: _planes_fwd(
-        d + c * 1e-30, ts, n_out)[2].ravel()[0], (data[:, :n_out + 1],))
+        d + c * 1e-30, ts, n_out)[1].ravel()[0], (data[:, :n_out + 1],))
     print(f"fwd planes            {t*1e3:8.2f} ms", flush=True)
 
-    def fwd_kernel(lane_, lanev_, sub_, st_):
+    def fwd_kernel(lane_, sub_, st_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),
             in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
-                                   lambda bb, s, st: (bb, 0, s),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, lanev_.shape[1], chunk),
                                    lambda bb, s, st: (bb, 0, s),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, chunk, sub_.shape[-1]),
@@ -126,14 +123,14 @@ def main():
             out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
                                            jnp.float32),
             interpret=False,
-        )(st_, lane_, lanev_, sub_)
+        )(st_, lane_, sub_)
 
-    t = per_iter(lambda c, l_, lv, su, st_: fwd_kernel(
-        l_ + c * 1e-30, lv, su, st_).ravel()[0],
-        (lane, lanev, sub, slot_tile))
+    t = per_iter(lambda c, l_, su, st_: fwd_kernel(
+        l_ + c * 1e-30, su, st_).ravel()[0],
+        (lane, sub, slot_tile))
     print(f"fwd kernel            {t*1e3:8.2f} ms", flush=True)
 
-    ext = jax.jit(fwd_kernel)(lane, lanev, sub, slot_tile)
+    ext = jax.jit(fwd_kernel)(lane, sub, slot_tile)
     ext.block_until_ready()
     t = per_iter(lambda c, e: _fold(
         e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))

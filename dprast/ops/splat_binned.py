@@ -333,27 +333,30 @@ def _prep_direct(planes, fills, chunk):
 # ---------------------------------------------------------------------------
 # kernel-feed planes
 #
-# The kernels do NO per-point decoding or coefficient arithmetic: any op on
-# a (C, 1)-shaped value wastes 127/128 VPU lanes, and on the first-
-# generation kernels that layout tax — not MXU work — dominated (measured
-# v5e, 1024^2: 35 ms/kernel vs a ~6 ms MXU floor).  Instead XLA computes,
-# from the sorted frame, exactly the planes each kernel consumes in the
+# The kernels do NO per-point decoding: any op on a (C, 1)-shaped value
+# wastes 127/128 VPU lanes, and on the first-generation kernels that
+# layout tax — not MXU work — dominated (measured v5e, 1024^2:
+# 35 ms/kernel vs a ~6 ms MXU floor).  Instead XLA computes, from the
+# sorted frame, exactly the planes each kernel consumes in the
 # orientation it consumes them:
 #
-# - lane planes (B, L, s_pad): the one-hot ROW targets, lane-major — the
-#   (rows_e, S*C) one-hot comes from one broadcast f32 compare.
-# - sublane planes (B, s_pad, M): per-point stencil VALUES (x target and
-#   the splat-weight products), read as (C, 1) columns that only ever
-#   broadcast against (C, cols_e) selects — never scalar (C, 1) math.
+# - lane planes (B, L, s_pad): per-point hat parameters / row targets,
+#   lane-major — all row-matrix construction broadcasts them as (1, C)
+#   rows over sublanes.
+# - sublane planes (B, s_pad, M): the x one-hot target, read as (C, 1)
+#   columns that only ever broadcast against (C, cols_e) iota compares —
+#   never scalar (C, 1) math.
 #
-# Planes carry small integers as exact f32 (no in-kernel casts).
+# Planes carry small integers as exact f32 (no in-kernel bitcasts).
 # ---------------------------------------------------------------------------
 
 
 def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
     """The 4 (sz, sy) stencil flat-row targets (tz+1, ty+1 layout; invalid
     -> -9, never matching) and their y/z weight products, in branch order
-    (0,0), (0,1), (1,0), (1,1)."""
+    (0,0), (0,1), (1,0), (1,1).  Used by the BACKWARD lane planes (the
+    backward gathers per stencil row with exact one-hots; the forward
+    builds its weighted row matrix as a hat function instead)."""
     tz, ty = ts[0], ts[1]
     rows, wzy = [], []
     for sz in (0, 1):
@@ -368,49 +371,39 @@ def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
 
 
 def _planes_fwd(data, ts, n_out):
-    """(lane (B, S, s_pad) f32, lanev (B, 4S, s_pad) bf16, sub
-    (B, s_pad, 1) f32) for the forward kernel from frame planes ``data``
-    (B, n_out+1, s_pad) = (enc coords..., w).
+    """(lane (B, L, s_pad) f32, sub (B, s_pad, 1) f32) for the forward
+    kernel from frame planes ``data`` (B, n_out+1, s_pad) =
+    (enc coords..., w).
 
-    lane: the S row targets (2D: iy0; 3D: 4 flat (z,y) stencil rows).
-    lanev: the splat-weight products ``a_{s,j}`` (row branch s,
-    x-neighbour j; point weight included) PRE-SPLIT into exact bf16
-    halves, as LANE rows in branch-major order ``[a_{s,j} hi...,
-    a_{s,j} lo...]`` with j fastest.  The kernel multiplies these (1, C)
-    rows into the one-hot ROW matrix (cheap sublane broadcasts) so the
-    one-hot COLUMN matrix stays pure {0, 1} — no value ever crosses to
-    the sublane-column side, whose (C, 1) lane-broadcasts dominated the
-    first-generation kernels (measured v5e, 1024^2: 31 ms/kernel vs a
-    ~6 ms MXU floor).  The hi+lo pair reproduces the usual exact 2-term
-    split (~2^-18 relative).
-    sub: the x-target column ``ix0`` (the single remaining sublane
-    operand; its one lane-broadcast compare is shared by both one-hot
-    columns)."""
+    lane: the decoded row-axis hat parameters plus the point weight and
+    the x interpolation delta — 2D ``[iy0, dly, w, dlx]``, 3D
+    ``[iz0, dlz, iy0, dly, w, dlx]``.  The kernel builds the WEIGHTED
+    row matrix directly as a hat function,
+    ``m[r] = relu(1 - |(r0 - r) + dl|) * w`` — ``r0 - r`` is an exact
+    small integer and ``dl`` an exact f32, so the construction is exact
+    to f32 like the one-hot-compare form it replaced, but covers BOTH
+    stencil rows (and, separably, all four 3D (z, y) branches) in one
+    expression: no per-branch one-hot compares, no precomputed
+    coefficient planes at all (the replaced design shipped 4S pre-split
+    bf16 value rows per point through HBM; measured v5e, 1024², the
+    hat form cut fwd kernel+planes time ~2x).  Inert filler rows decode
+    to ``r0 = -3`` and never reach ``|.| < 1``.
+    sub: the x-target column ``ix0`` — the x side stays a pure {0, 1}
+    one-hot COLUMN pair (values never cross to the sublane-column side,
+    whose (C, 1) lane-broadcasts dominated the first-generation
+    kernels), so every matmul keeps the exact bf16-split x one-hot
+    contract."""
     f32 = jnp.float32
     ix0, dlx = _decode_coord(data[:, n_out - 1])
     w = data[:, n_out]
     if n_out == 2:
         iy0, dly = _decode_coord(data[:, 0])
-        lane = [iy0.astype(f32)]
-        coeffs = [(1 - dly) * w, dly * w]
+        lane = [iy0.astype(f32), dly, w, dlx]
     else:
         iz0, dlz = _decode_coord(data[:, 0])
         iy0, dly = _decode_coord(data[:, 1])
-        lane, wzy = _flat_rows_3d(iz0, dlz, iy0, dly, ts)
-        coeffs = [c * w for c in wzy]
-    a_full = []
-    for c in coeffs:
-        a_full.append(c * (1 - dlx))
-        a_full.append(c * dlx)
-    # hi via lax.reduce_precision: an astype round-trip (a - bf16(a))
-    # is exactly the convert pair XLA's excess-precision pass may elide,
-    # which would silently collapse lo to 0 (see splat_matmul's split)
-    hi_f32 = [lax.reduce_precision(a, 8, 7) for a in a_full]
-    hi = [h.astype(jnp.bfloat16) for h in hi_f32]
-    lo = [(a - h).astype(jnp.bfloat16) for a, h in zip(a_full, hi_f32)]
-    return (jnp.stack(lane, axis=1),
-            jnp.stack(hi + lo, axis=1),
-            ix0.astype(f32)[..., None])
+        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w, dlx]
+    return jnp.stack(lane, axis=1), ix0.astype(f32)[..., None]
 
 
 def _planes_bwd(coord, ts, n_out):
@@ -449,8 +442,8 @@ def _x_selects(ix0f, chunk, cols_e):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
-                chunk, halo, n_out):
+def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
+                n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
@@ -458,38 +451,56 @@ def _fwd_kernel(st_ref, lane_ref, lanev_ref, sub_ref, ext_ref, *, ts,
     first = jnp.logical_or(s == 0, t_cur != t_prev)
 
     cols_e = ts[-1] + (1 if halo else 0)
-    lane = lane_ref[0]                                    # (S, C) f32
+    lane = lane_ref[0]                                    # (L, C) f32
     if n_out == 2:
         rows_e = ts[0] + (1 if halo else 0)
-        rows = [lane[0:1, :], lane[0:1, :] + 1]
+        iy0 = lane[0:1, :].astype(jnp.int32)
+        dly = lane[1:2, :]
+        w = lane[2:3, :]
+        dlx = lane[3:4, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
+                                      + dly), 0.0) * w    # (rows_e, C)
     else:
+        # flattened (z, y) stencil rows; ty+1 is a power of two by tile
+        # design so row -> (z, y) is a shift + mask
         rows_e = (ts[0] + 1) * (ts[1] + 1)
-        rows = [lane[i:i + 1, :] for i in range(4)]
-    n_br = len(rows)
-    iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
-    o_s = [(iota_r == r.astype(jnp.int32)).astype(jnp.bfloat16)
-           for r in rows]
+        tyq = ts[1] + 1
+        iz0 = lane[0:1, :].astype(jnp.int32)
+        dlz = lane[1:2, :]
+        iy0 = lane[2:3, :].astype(jnp.int32)
+        dly = lane[3:4, :]
+        w = lane[4:5, :]
+        dlx = lane[5:6, :]
+        iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
+        z_r = iota_r // tyq
+        y_r = iota_r % tyq
+        hz = jnp.maximum(1.0 - jnp.abs((iz0 - z_r).astype(jnp.float32)
+                                       + dlz), 0.0)
+        hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
+                                       + dly), 0.0)
+        m = hz * hy * w
 
     # pure {0,1} one-hot x columns (C, cols_e); all VALUES ride the row
-    # side below as (1, C) sublane broadcasts — nothing value-like ever
+    # side as (1, C) sublane broadcasts — nothing value-like ever
     # needs a (C, 1) lane-broadcast (bf16 selects against i32-layout
     # masks are a relayout Mosaic rejects; mask->bf16 casts + multiplies
     # are native)
     lo, hi = _x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
     xs = [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
+    cxs = [1.0 - dlx, dlx]
 
-    vals = lanev_ref[0]                                   # (4S, C) bf16
     dims = (((1,), (0,)), ((), ()))
     acc = None
     for j in (0, 1):
-        for half in (0, 1):
-            m = None
-            for i in range(n_br):
-                a = vals[half * 2 * n_br + 2 * i + j:
-                         half * 2 * n_br + 2 * i + j + 1, :]
-                term = o_s[i] * a
-                m = term if m is None else m + term
-            part = lax.dot_general(m, xs[j], dims,
+        mj = m * cxs[j]
+        # in-kernel exact 2-term split (Mosaic does not run XLA's
+        # excess-precision elision, so the astype round-trip is safe
+        # here, unlike in splat_matmul)
+        mh = mj.astype(jnp.bfloat16)
+        ml = (mj - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        for half in (mh, ml):
+            part = lax.dot_general(half, xs[j], dims,
                                    preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
 
@@ -643,7 +654,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, *planes[n_out:])
-    lane, lanev, sub = _planes_fwd(data[:, :n_out + 1], ts, n_out)
+    lane, sub = _planes_fwd(data[:, :n_out + 1], ts, n_out)
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -660,9 +671,6 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
             pl.BlockSpec((1, lane.shape[1], chunk),
                          lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanev.shape[1], chunk),
-                         lambda b, s, st: (b, 0, s),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, sub.shape[-1]),
                          lambda b, s, st: (b, s, 0),
                          memory_space=pltpu.VMEM),
@@ -677,9 +685,9 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
                           n_out=n_out),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              lane, lanev, sub),
+                              lane, sub),
         interpret=interpret,
-    )(slot_tile, lane, lanev, sub)
+    )(slot_tile, lane, sub)
 
     out = _fold(ext, grid_size, ts, halo)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
