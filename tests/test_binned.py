@@ -68,6 +68,29 @@ def test_sparse_cloud_many_empty_tiles():
     _check(fx, (512, 512))
 
 
+def test_exact_boundary_coordinates():
+    # grid coordinates landing EXACTLY on voxel centres (dl encodes as 0,
+    # decoded to the reference's dl == 1 convention), on 127-body tile
+    # boundaries (r_loc in {-1, t-1} straddles) and on/past the grid edge
+    # (u = -1 dropped, u = 256 kept but fully out-of-grid).  With identity
+    # rotation and zero translation, u = k exactly for
+    # x = (k + 0.5)/128 - 1 (all steps exact in f32 at grid 256).
+    grid = (256, 256)
+    u_targets = [-1.0, -0.5, 0.0, 0.75, 1.0, 126.0, 127.0, 127.25,
+                 128.0, 254.0, 255.0, 255.5, 256.0]
+    xs = [(u + 0.5) / 128.0 - 1.0 for u in u_targets]
+    pts = jnp.asarray([[x, y] for x in xs for y in xs], jnp.float32)
+    n = pts.shape[0]
+    rot = jnp.asarray(np.tile(np.eye(2, dtype=np.float32), (2, 1, 1)))
+    tr = jnp.zeros((2, 2), jnp.float32)
+    fx = dict(points=pts, rotation=rot, translation=tr,
+              background=jnp.zeros(2), out_weight=jnp.ones(2),
+              point_weight=jnp.asarray(
+                  np.random.default_rng(3).uniform(0.5, 2.0, n),
+                  jnp.float32))
+    _check(fx, grid)
+
+
 def test_points_outside_grid():
     rng = np.random.default_rng(9)
     pts = jnp.asarray(rng.standard_normal((100, 2)) * 3.0, jnp.float32)
