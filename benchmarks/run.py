@@ -139,7 +139,15 @@ def main():
                     help="also append result rows to this JSON-lines file")
     ap.add_argument("--grad", action="store_true",
                     help="also time the fused jax.grad training step")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="run on XLA:CPU (the reference's CPU columns) "
+                    "instead of the default TPU device")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+        # the env var alone does not beat pre-registered platform
+        # plugins (the axon tunnel); the config update does
+        jax.config.update("jax_platforms", "cpu")
     want = set(args.configs.split(",")) if args.configs else None
     rows = []
     for cfg in CONFIGS:

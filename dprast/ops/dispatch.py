@@ -107,7 +107,12 @@ def resolve(backend: str, n_out: int, grid_size=None,
             if splat_binned.profitable(n_out, grid_size, n_points):
                 return "binned"
             return "xla"
-    if splat_matmul.supported(n_out):
+    if splat_matmul.supported(n_out) and _on_tpu():
+        # dense one-hot contractions are only a win where they buy MXU
+        # throughput; on CPU the O(splats) scatter oracle is ~10x faster
+        # (measured 4-core XLA:CPU, 128^2 x 64 x 1e4: matmul 637/381 ms
+        # fwd/bwd vs xla 49/26 — the oracle beats even the reference's
+        # 8-thread CPU row, BASELINE 73/10 ms)
         return "matmul"
     return "xla"
 
