@@ -36,3 +36,49 @@ def test_tomography_demo_runs(monkeypatch):
     img = m.blur(__import__("dprast").raster(m.GRID, truth, rots,
                                              jax.numpy.zeros((m.N_VIEWS, 2))))
     assert img.shape == (m.N_VIEWS,) + m.GRID
+
+
+def test_optax_training_loop():
+    """Ecosystem fit: dprast.raster composes with optax optimisers (the
+    standard JAX training stack) through jax.grad — a target-image fit
+    with adam must reduce the loss."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import dprast
+
+    grid = (32, 32)
+    rng = np.random.default_rng(1)
+    rot = jnp.eye(2)[None]
+    tr = jnp.zeros((1, 2))
+    target_pts = jnp.asarray(rng.uniform(-0.7, 0.7, (50, 2)), jnp.float32)
+    kern = jnp.asarray([0.25, 0.5, 0.25])
+
+    def blur(img):
+        img = jnp.apply_along_axis(
+            lambda r: jnp.convolve(r, kern, "same"), 1, img)
+        return jnp.apply_along_axis(
+            lambda r: jnp.convolve(r, kern, "same"), 2, img)
+
+    target = blur(dprast.raster(grid, target_pts, rot, tr))
+
+    def loss_fn(pts):
+        return jnp.mean((blur(dprast.raster(grid, pts, rot, tr))
+                         - target) ** 2)
+
+    opt = optax.adam(3e-2)
+    pts = jnp.asarray(rng.uniform(-0.7, 0.7, (50, 2)), jnp.float32)
+    state = opt.init(pts)
+
+    @jax.jit
+    def step(pts, state):
+        loss, g = jax.value_and_grad(loss_fn)(pts)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(pts, updates), state, loss
+
+    losses = []
+    for _ in range(60):
+        pts, state, loss = step(pts, state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
