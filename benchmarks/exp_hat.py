@@ -215,9 +215,9 @@ def _planes_fwd_prod(data, ts, n_out):
     return [lane], sub
 
 
-def run(grid, p, b, interpret):
+def run(grid, p, b, interpret, chunk=0):
     n_out = len(grid)
-    chunk = sb._default_chunk(grid, p)
+    chunk = chunk or sb._default_chunk(grid, p)
     ts = sb.tile_shape_for(grid)
     nt = sb.n_tiles(grid, ts)
     halo = not sb._single_tile(grid)
@@ -304,9 +304,10 @@ def main():
     ap.add_argument("--points", type=int, default=100_000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0)
     args = ap.parse_args()
     grid = tuple(int(x) for x in args.grid.split(","))
-    run(grid, args.points, args.batch, args.interpret)
+    run(grid, args.points, args.batch, args.interpret, args.chunk)
 
 
 if __name__ == "__main__":
