@@ -46,7 +46,7 @@ def _check_hardware(fwd, bwd, grid, args, tol=TOL, seed=7):
             atol=tol, err_msg=f"grad {name} on hardware")
 
 
-@pytest.mark.parametrize("grid", [(128, 128), (256, 256)])
+@pytest.mark.parametrize("grid", [(128, 128), (256, 256), (999, 777)])
 def test_binned_parity_2d(grid):
     args = _pose_args(seed=3, n_points=1500, batch=4)
     _check_hardware(
