@@ -466,6 +466,7 @@ def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
         # design so row -> (z, y) is a shift + mask
         rows_e = (ts[0] + 1) * (ts[1] + 1)
         tyq = ts[1] + 1
+        assert tyq & (tyq - 1) == 0, ts  # row -> (z, y) must be shift+mask
         iz0 = lane[0:1, :].astype(jnp.int32)
         dlz = lane[1:2, :]
         iy0 = lane[2:3, :].astype(jnp.int32)
@@ -473,8 +474,8 @@ def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
         w = lane[4:5, :]
         dlx = lane[5:6, :]
         iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
-        z_r = iota_r // tyq
-        y_r = iota_r % tyq
+        z_r = iota_r >> (tyq.bit_length() - 1)
+        y_r = iota_r & (tyq - 1)
         hz = jnp.maximum(1.0 - jnp.abs((iz0 - z_r).astype(jnp.float32)
                                        + dlz), 0.0)
         hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
