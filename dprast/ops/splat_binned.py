@@ -556,6 +556,99 @@ def _fold(ext, grid_size, ts, halo):
     return x
 
 
+def _fold_pl_2d(ext, grid_size, ts):
+    """TPU Pallas replacement for :func:`_fold` in 2D (same output,
+    pre-slice): ext (B, nt, 128, 128) -> (B, nI*128, wp) where
+    ``nI = ceil(gy/128)``, ``wp = align128(gx)``; the caller slices to the
+    grid and adds the background (XLA fuses slice + add + cast into one
+    pass).  Measured v5e, 1024^2 x 64: 5.3 ms (XLA strided pad-adds,
+    which materialise several full-size intermediates) -> ~2 ms.
+
+    One instance per aligned 128-row output band: it reads the two
+    window rows overlapping the band (two in-specs over the SAME ext
+    array — XLA passes one buffer twice, no copy), assembles each into a
+    width-wp strip with static column placements (windows overlap by one
+    column per axis; the += on the shared column realises the halo sum),
+    then shifts both strips into band position with one dynamic sublane
+    roll each — band row i needs strip-A row ``i + off`` and strip-B row
+    ``i + off - t0``; the strips sit above 128 zero rows so the roll
+    wrap-around implements the edge zero-fill."""
+    t0, t1 = ts
+    gy, gx = grid_size
+    bsz = ext.shape[0]
+    n0, n1 = -(-gy // t0), -(-gx // t1)
+    n_i = -(-gy // 128)
+    wp = -(-gx // 128) * 128
+    exr = ext.reshape(bsz, n0, n1, t0 + 1, t1 + 1)
+
+    def kern(a_ref, b_ref, o_ref, scr):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        ty_a = (128 * i) // t0
+        ty_b = jnp.minimum(ty_a + 1, n0 - 1)
+        off = 128 * i - t0 * ty_a
+
+        # rows [128, 256) and [384, 512) of the persistent scratch are the
+        # zero halves the rolls wrap into; written once per kernel launch
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            scr[128:256] = jnp.zeros((128, wp), jnp.float32)
+            scr[384:512] = jnp.zeros((128, wp), jnp.float32)
+
+        def assemble(x_ref, half):
+            r0 = half * 256
+            for k in range(n1):
+                wk = min(128, wp - t1 * k)
+                if wk <= 0:
+                    continue
+                w = x_ref[0, 0, k][:, :wk]
+                c = t1 * k
+                if k == 0:
+                    scr[r0:r0 + 128, c:c + wk] = w
+                else:
+                    # column c is the previous window's halo column: add
+                    scr[r0:r0 + 128, c:c + 1] = (scr[r0:r0 + 128, c:c + 1]
+                                                 + w[:, :1])
+                    if wk > 1:
+                        scr[r0:r0 + 128, c + 1:c + wk] = w[:, 1:]
+
+        assemble(a_ref, 0)
+        assemble(b_ref, 1)
+        sa = scr[0:256]
+        sb = scr[256:512]
+        out_a = pltpu.roll(sa, lax.rem(256 - off, 256), axis=0)[:128]
+        out_b = pltpu.roll(sb, t0 - off, axis=0)[:128]
+        out_b = jnp.where(ty_b > ty_a, out_b, 0.0)
+        o_ref[0] = out_a + out_b
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, n_i),
+        in_specs=[
+            pl.BlockSpec((1, 1, n1, t0 + 1, t1 + 1),
+                         lambda b, i: (b, (128 * i) // t0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1, t0 + 1, t1 + 1),
+                         lambda b, i: (b, jnp.minimum((128 * i) // t0 + 1,
+                                                      n0 - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, wp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((bsz, n_i * 128, wp), jnp.float32, ext),
+        scratch_shapes=[pltpu.VMEM((512, wp), jnp.float32)],
+    )(exr, exr)
+
+
+def _fold_pl_ok(grid_size, ts) -> bool:
+    """Pallas fold applies: 2D multi-tile with strips that fit VMEM."""
+    if len(grid_size) != 2:
+        return False
+    n1 = -(-grid_size[1] // ts[1])
+    wp = -(-grid_size[1] // 128) * 128
+    return wp <= 2048 and n1 * (ts[0] + 1) * (ts[1] + 1) * 4 <= 2 ** 20
+
+
 def _unfold(x, grid_size, ts, transposed=False):
     """Extract the per-tile extended cotangent windows — the exact adjoint
     of :func:`_fold`.  x (B, *grid) -> (B, nt, rows_e, cols_e) with
@@ -589,6 +682,96 @@ def _unfold(x, grid_size, ts, transposed=False):
     if transposed:
         return xp.reshape(b, math.prod(nts), ts[-1] + 1, rows)
     return xp.reshape(b, math.prod(nts), rows, ts[-1] + 1)
+
+
+def _unfold_pl_2d(g_cot, grid_size, ts):
+    """TPU Pallas replacement for ``_unfold(..., transposed=True)`` in 2D:
+    one strided DMA per (pose, tile) instead of XLA's strided-slice /
+    concat cascade (measured v5e, 1024^2 x 64: 6.2 ms -> ~1.3 ms — the
+    XLA form materialises ~4 intermediate copies of the 340 MB window
+    array; the kernel moves each byte once).
+
+    HBM slices must start on the (8, 128) tile quanta, but windows sit at
+    multiples of the 127-voxel body tile.  So each instance fetches an
+    ALIGNED (136, 256) superset window, shifts it into place with two
+    dynamic lane/sublane rolls (`pltpu.roll`, the only dynamic-offset
+    vector op Mosaic provides), masks the out-of-grid tail to zero (the
+    reference's OOB-drop semantics — zero cotangent for out-of-grid
+    neighbours), and writes the transposed (cols_e, rows_e) window the
+    backward kernel consumes.  Edge tiles clamp the aligned fetch start
+    into bounds; the roll+mask algebra stays valid for any clamp
+    distance < 136 (`Hp - fetch_h >= gy - 136` by construction).
+    Four-deep buffered: each instance issues the DMA three tiles ahead
+    before waiting on its own (measured v5e: depth 2 -> 3.84 ms, depth 4
+    -> 2.88 ms — per-fetch issue latency needs ~3 instances of lead)."""
+    t0, t1 = ts
+    gy, gx = grid_size
+    bsz = g_cot.shape[0]
+    n0, n1 = -(-gy // t0), -(-gx // t1)
+    nt = n0 * n1
+    fh, fw = 136, 256                       # aligned fetch window
+    hp = max(-(-gy // 8) * 8, fh)
+    wp = max(-(-gx // 128) * 128, fw)
+    if (hp, wp) != (gy, gx):                # no-op for 1024^2-like grids
+        g_cot = jnp.pad(g_cot, ((0, 0), (0, hp - gy), (0, wp - gx)))
+
+    depth = 4
+
+    def kern(g_hbm, out_ref, scr, sem):
+        bb = pl.program_id(0)
+        t = pl.program_id(1)
+        ty = t // n1
+        tx = lax.rem(t, n1)
+        y0 = ty * t0
+        x0 = tx * t1
+        ya = jnp.minimum(8 * (y0 // 8), hp - fh)
+        xa = jnp.minimum(128 * (x0 // 128), wp - fw)
+        slot = lax.rem(t, depth)
+
+        def dma(tt, sl):
+            tyn = tt // n1
+            txn = lax.rem(tt, n1)
+            yn = jnp.minimum(8 * ((tyn * t0) // 8), hp - fh)
+            xn = jnp.minimum(128 * ((txn * t1) // 128), wp - fw)
+            # both operands of each min are aligned by construction;
+            # Mosaic cannot see through the min without the hint
+            return pltpu.make_async_copy(
+                g_hbm.at[bb, pl.ds(pl.multiple_of(yn, 8), fh),
+                         pl.ds(pl.multiple_of(xn, 128), fw)],
+                scr.at[sl], sem.at[sl])
+
+        @pl.when(t == 0)
+        def _():
+            for k in range(min(depth - 1, nt)):
+                dma(t + k, lax.rem(slot + k, depth)).start()
+
+        @pl.when(t + depth - 1 < nt)
+        def _():
+            dma(t + depth - 1, lax.rem(slot + depth - 1, depth)).start()
+
+        dma(t, slot).wait()
+        dy = y0 - ya
+        dx = x0 - xa
+        w = pltpu.roll(scr[slot], lax.rem(fh - dy, fh), axis=0)
+        w = pltpu.roll(w, lax.rem(fw - dx, fw), axis=1)
+        w = w[:t0 + 1, :t1 + 1]
+        ri = lax.broadcasted_iota(jnp.int32, (t0 + 1, t1 + 1), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (t0 + 1, t1 + 1), 1)
+        w = jnp.where((ri < gy - y0) & (ci < gx - x0), w, 0.0)
+        out_ref[0, 0] = w.T
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, t1 + 1, t0 + 1),
+                               lambda bb, t: (bb, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((bsz, nt, t1 + 1, t0 + 1), jnp.float32,
+                              g_cot),
+        scratch_shapes=[pltpu.VMEM((depth, fh, fw), jnp.float32),
+                        pltpu.SemaphoreType.DMA((depth,))],
+    )(g_cot)
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
@@ -690,7 +873,11 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         interpret=interpret,
     )(slot_tile, lane, sub)
 
-    out = _fold(ext, grid_size, ts, halo)
+    if halo and not interpret and _fold_pl_ok(grid_size, ts):
+        out = _fold_pl_2d(ext, grid_size, ts)[:, :grid_size[0],
+                                              :grid_size[1]]
+    else:
+        out = _fold(ext, grid_size, ts, halo)
     out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
     dtype = jnp.result_type(points, rotation, translation)
     out = out.astype(dtype)
@@ -871,7 +1058,12 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     # see the zero padding (the reference OOB-drop semantics, no validity
     # masks)
     if halo:
-        g_in = _unfold(g_cot, grid_size, ts, transposed=True)
+        if n_out == 2 and not interpret:
+            # Pallas DMA unfold (TPU only: the interpreter has no DMA
+            # engine model worth paying for; CPU tests take the XLA path)
+            g_in = _unfold_pl_2d(g_cot, grid_size, ts)
+        else:
+            g_in = _unfold(g_cot, grid_size, ts, transposed=True)
         g_spec = pl.BlockSpec((1, 1, cols_e, rows_e),
                               lambda b, s, st: (b, st[b, s], 0, 0),
                               memory_space=pltpu.VMEM)
