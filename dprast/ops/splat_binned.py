@@ -231,9 +231,13 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
                  pack_idx=False):
     """Sort `planes` (list of (P,) f32) into the padded slot frame.
 
-    Returns (data (len(planes), s_pad) f32, slot_tile (n_slots,) i32).
-    Filler rows get per-plane `fills` values — callers pass coordinates
-    that never match a one-hot.  Runs per pose under vmap.
+    Returns (data (len(planes), s_pad) f32, slot_tile (n_slots + 1,) i32)
+    — the trailing entry is ``n_live``, the count of slots that carry
+    frame rows (the kernels skip all compute for the static-bound slack
+    slots past it; rows there are no-overlap reals and excess fillers,
+    both zero-gradient by construction).  Filler rows get per-plane
+    `fills` values — callers pass coordinates that never match a
+    one-hot.  Runs per pose under vmap.
 
     ONE stable sort builds the frame: per-tile segment counts come from a
     cheap compare-reduce over the *unsorted* keys, which lets filler rows
@@ -309,7 +313,8 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
     tile_of = jnp.sum((starts[:, None] >= poffs[None, 1:nt + 1])
                       .astype(jnp.int32), axis=1)
     slot_tile = jnp.minimum(tile_of, nt - 1)
-    return data, slot_tile
+    n_live = poffs[nt] // chunk
+    return data, jnp.concatenate([slot_tile, n_live[None]])
 
 
 def _slot_frame_size(p, nt, chunk):
@@ -318,14 +323,18 @@ def _slot_frame_size(p, nt, chunk):
 
 def _prep_direct(planes, fills, chunk):
     """Single-tile fast path: no binning, no sorts — rows keep the
-    original point order (so the backward needs no unsort either)."""
+    original point order (so the backward needs no unsort either).
+    Matches `_prep_binned`'s slot-table layout: trailing n_live entry
+    (every slot is live here)."""
     p = planes[0].shape[0]
     p_pad = -(-p // chunk) * chunk
     data = jnp.stack(
         [jnp.concatenate([pl_, jnp.full((p_pad - p,), fills[i],
                                         jnp.float32)])
          for i, pl_ in enumerate(planes)], axis=0)
-    return data, jnp.zeros((p_pad // chunk,), jnp.int32)
+    n_slots = p_pad // chunk
+    return data, jnp.concatenate([jnp.zeros((n_slots,), jnp.int32),
+                                  jnp.full((1,), n_slots, jnp.int32)])
 
 
 
@@ -443,7 +452,30 @@ def _x_selects(ix0f, chunk, cols_e):
 
 
 def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
-                n_out):
+                n_out, skip_dead=True):
+    # slots past n_live (the slot table's trailing entry) carry only
+    # no-overlap reals / excess fillers: skip ALL compute and writes.
+    # Their output index is tile nt-1 == the last live slot's tile (every
+    # tile owns >= one live chunk), so the resident block is untouched
+    # and correct at writeback.  Interpret mode keeps the branch-free
+    # form (the rows are inert by data anyway; Pallas CPU lowering
+    # rejects kernels whose trace captures constants).
+    if not skip_dead:
+        _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, ts=ts,
+                         chunk=chunk, halo=halo, n_out=n_out)
+        return
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    live = s < st_ref[b, pl.num_programs(1)]
+
+    @pl.when(live)
+    def _():
+        _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, ts=ts,
+                         chunk=chunk, halo=halo, n_out=n_out)
+
+
+def _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk,
+                     halo, n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
@@ -866,7 +898,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     )
     ext = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
-                          n_out=n_out),
+                          n_out=n_out, skip_dead=not interpret),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
                               lane, sub),
@@ -894,13 +926,39 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 
 
 def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
-                n_out):
+                n_out, skip_dead=True):
     """Transposed-orientation gather kernel: ``resT = gT @ o_rows`` with
     the cotangent window pre-transposed by `_unfold`.  Every per-point
     operand lives on the LANE axis end to end — inputs are (Mb, C) rows,
     the stencil combination broadcasts (1, C) rows over sublanes, the
     reductions run over sublanes, and the output is (n_out+1, C) rows —
-    so no operation ever runs in the 1-lane (C, 1) layout."""
+    so no operation ever runs in the 1-lane (C, 1) layout.
+
+    Slots past the table's n_live entry hold no-overlap reals and excess
+    fillers — all zero-gradient: write zeros without gathering (their
+    rows still ride the unsort, so the values must be real zeros, not
+    stale VMEM).  Interpret mode keeps the branch-free form (see
+    `_fwd_kernel`)."""
+    if not skip_dead:
+        _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, ts=ts,
+                         chunk=chunk, halo=halo, n_out=n_out)
+        return
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    live = s < st_ref[b, pl.num_programs(1)]
+
+    @pl.when(live)
+    def _():
+        _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, ts=ts,
+                         chunk=chunk, halo=halo, n_out=n_out)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        buf_ref[0] = jnp.zeros((n_out + 1, chunk), jnp.float32)
+
+
+def _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk,
+                     halo, n_out):
     cols_e = ts[-1] + (1 if halo else 0)
     if halo:
         gt = g_ref[0, 0]                                  # (cols_e, rows_e)
@@ -1089,7 +1147,7 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     )
     buf = pl.pallas_call(
         functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
-                          n_out=n_out),
+                          n_out=n_out, skip_dead=not interpret),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, n_out + 1, s_pad), f32, slot_tile,
                               lane_b, g_in),
