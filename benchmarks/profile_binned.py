@@ -22,7 +22,8 @@ import numpy as np
 from jax import lax
 
 from dprast.ops import splat_binned
-from dprast.ops.splat_binned import (_default_chunk, _fold, _unfold,
+from dprast.ops.splat_binned import (_default_chunk, _fold, _fold_pl_2d,
+                                     _fold_pl_ok, _unfold, _unfold_pl_2d,
                                      _keys_and_local, _prep_binned,
                                      n_tiles, tile_shape_for)
 from benchmarks.timing import per_iter as _shared_per_iter
@@ -95,22 +96,19 @@ def main():
     cols_e = ts[-1] + (1 if halo else 0)
     n_slots = s_pad // chunk
 
-    lane, sub = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
+    lane = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
         data[:, :n_out + 1])
     lane.block_until_ready()
     t = per_iter(lambda c, d: _planes_fwd(
-        d + c * 1e-30, ts, n_out)[1].ravel()[0], (data[:, :n_out + 1],))
+        d + c * 1e-30, ts, n_out).ravel()[0], (data[:, :n_out + 1],))
     print(f"fwd planes            {t*1e3:8.2f} ms", flush=True)
 
-    def fwd_kernel(lane_, sub_, st_):
+    def fwd_kernel(lane_, st_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),
             in_specs=[pl.BlockSpec((1, lane_.shape[1], chunk),
                                    lambda bb, s, st: (bb, 0, s),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, chunk, sub_.shape[-1]),
-                                   lambda bb, s, st: (bb, s, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, rows_e, cols_e),
                                    lambda bb, s, st: (bb, st[bb, s], 0, 0),
@@ -123,27 +121,41 @@ def main():
             out_shape=jax.ShapeDtypeStruct((b, nt, rows_e, cols_e),
                                            jnp.float32),
             interpret=False,
-        )(st_, lane_, sub_)
+        )(st_, lane_)
 
-    t = per_iter(lambda c, l_, su, st_: fwd_kernel(
-        l_ + c * 1e-30, su, st_).ravel()[0],
-        (lane, sub, slot_tile))
+    t = per_iter(lambda c, l_, st_: fwd_kernel(
+        l_ + c * 1e-30, st_).ravel()[0],
+        (lane, slot_tile))
     print(f"fwd kernel            {t*1e3:8.2f} ms", flush=True)
 
-    ext = jax.jit(fwd_kernel)(lane, sub, slot_tile)
+    ext = jax.jit(fwd_kernel)(lane, slot_tile)
     ext.block_until_ready()
-    t = per_iter(lambda c, e: _fold(
-        e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))
-    print(f"fold                  {t*1e3:8.2f} ms", flush=True)
+    if halo and _fold_pl_ok(grid, ts):
+        t = per_iter(lambda c, e: _fold_pl_2d(
+            e + c * 1e-30, grid, ts).ravel()[0], (ext,))
+        print(f"fold (pallas)         {t*1e3:8.2f} ms", flush=True)
+    else:
+        t = per_iter(lambda c, e: _fold(
+            e + c * 1e-30, grid, ts, halo).ravel()[0], (ext,))
+        print(f"fold                  {t*1e3:8.2f} ms", flush=True)
 
     # backward stages
     g = jax.random.normal(ks[3], (b,) + grid, jnp.float32)
-    t = per_iter(lambda c, g_: _unfold(
-        g_ + c * 1e-30, grid, ts, transposed=True).ravel()[0], (g,))
-    print(f"unfold^T              {t*1e3:8.2f} ms", flush=True)
+    if n_out == 2 and halo:
+        t = per_iter(lambda c, g_: _unfold_pl_2d(
+            g_ + c * 1e-30, grid, ts).ravel()[0], (g,))
+        print(f"unfold^T (pallas)     {t*1e3:8.2f} ms", flush=True)
+    else:
+        t = per_iter(lambda c, g_: _unfold(
+            g_ + c * 1e-30, grid, ts, transposed=True).ravel()[0], (g,))
+        print(f"unfold^T              {t*1e3:8.2f} ms", flush=True)
 
     from dprast.ops.splat_binned import _bwd_kernel
-    g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts, transposed=True))(g)
+    if n_out == 2 and halo:
+        g_ext = jax.jit(lambda g_: _unfold_pl_2d(g_, grid, ts))(g)
+    else:
+        g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts,
+                                           transposed=True))(g)
     g_ext.block_until_ready()
 
     coord = data[:, :n_out]

@@ -302,7 +302,11 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
                             jnp.full((nt * chunk + n_extra,), fills[i],
                                      jnp.float32)])
            for i in range(len(planes))]
-    sorted2 = lax.sort((keys2,) + tuple(cat), dimension=0, num_keys=1)
+    # packed keys are unique -> drop the stability tiebreaker (XLA
+    # implements is_stable by sorting an extra hidden iota operand;
+    # measured v5e, (64, 121k) key+3: 17.0 -> 13.8 ms)
+    sorted2 = lax.sort((keys2,) + tuple(cat), dimension=0, num_keys=1,
+                       is_stable=not packed)
     data = [c[:s_pad] for c in sorted2[1:]]
     if packed:
         data.append((sorted2[0][:s_pad] % p2).astype(jnp.float32))
@@ -397,11 +401,13 @@ def _planes_fwd(data, ts, n_out):
     bf16 value rows per point through HBM; measured v5e, 1024², the
     hat form cut fwd kernel+planes time ~2x).  Inert filler rows decode
     to ``r0 = -3`` and never reach ``|.| < 1``.
-    sub: the x-target column ``ix0`` — the x side stays a pure {0, 1}
-    one-hot COLUMN pair (values never cross to the sublane-column side,
-    whose (C, 1) lane-broadcasts dominated the first-generation
-    kernels), so every matmul keeps the exact bf16-split x one-hot
-    contract."""
+    The x-target ``ix0`` rides as the LAST lane row and is transposed to
+    a (C, 1) column in-kernel (one tiny relayout per instance).  It used
+    to ship as a separate (B, s_pad, 1) sublane-plane operand — XLA
+    relaid the sort output lane-major -> sublane-major with a 5.9 ms
+    copy at 1024^2 x 64 x 1e5 (traced), 3x the cost of the whole Pallas
+    fold.  The x side stays a pure {0, 1} one-hot COLUMN pair, so every
+    matmul keeps the exact bf16-split x one-hot contract."""
     f32 = jnp.float32
     ix0, dlx = _decode_coord(data[:, n_out - 1])
     w = data[:, n_out]
@@ -412,7 +418,8 @@ def _planes_fwd(data, ts, n_out):
         iz0, dlz = _decode_coord(data[:, 0])
         iy0, dly = _decode_coord(data[:, 1])
         lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w, dlx]
-    return jnp.stack(lane, axis=1), ix0.astype(f32)[..., None]
+    lane.append(ix0.astype(f32))
+    return jnp.stack(lane, axis=1)
 
 
 def _planes_bwd(coord, ts, n_out):
@@ -437,12 +444,17 @@ def _planes_bwd(coord, ts, n_out):
     return jnp.stack(sub, axis=1)
 
 
-def _x_selects(ix0f, chunk, cols_e):
-    """(lo, hi) masks (C, cols_e) of the two x-neighbour columns from the
-    sublane plane's ix0 column (one broadcast compare each; Mosaic iota
-    is integer-only, so the single (C, 1) column is cast, not the iota)."""
-    ix0 = ix0f.astype(jnp.int32)
-    iota = lax.broadcasted_iota(jnp.int32, (chunk, cols_e), 1)
+def _x_selects(ix0_row, chunk, cols_e):
+    """(lo, hi) TRANSPOSED masks (cols_e, C) of the two x-neighbour
+    columns, built lane-major straight from the (1, C) ix0 lane row and
+    consumed by an NT contraction (both matmul operands keep the point
+    axis on lanes).  The alternatives both lose: shipping ix0 as a
+    (B, s_pad, 1) sublane-plane operand costs XLA a 5.9 ms lane->sublane
+    relayout copy, and transposing the row to a (C, 1) column in-kernel
+    costs ~7 ms across the grid (measured v5e, 1024^2 x 64 x 1e5: NT
+    kernel 12.8 ms vs 15.8 / 22.6 for those two)."""
+    ix0 = ix0_row.astype(jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (cols_e, chunk), 0)
     return iota == ix0, iota == ix0 + 1
 
 
@@ -451,7 +463,7 @@ def _x_selects(ix0f, chunk, cols_e):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
+def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
                 n_out, skip_dead=True):
     # slots past n_live (the slot table's trailing entry) carry only
     # no-overlap reals / excess fillers: skip ALL compute and writes.
@@ -461,7 +473,7 @@ def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
     # form (the rows are inert by data anyway; Pallas CPU lowering
     # rejects kernels whose trace captures constants).
     if not skip_dead:
-        _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, ts=ts,
+        _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
                          chunk=chunk, halo=halo, n_out=n_out)
         return
     b = pl.program_id(0)
@@ -470,11 +482,11 @@ def _fwd_kernel(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk, halo,
 
     @pl.when(live)
     def _():
-        _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, ts=ts,
+        _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
                          chunk=chunk, halo=halo, n_out=n_out)
 
 
-def _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk,
+def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
                      halo, n_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -519,11 +531,14 @@ def _fwd_kernel_live(st_ref, lane_ref, sub_ref, ext_ref, *, ts, chunk,
     # needs a (C, 1) lane-broadcast (bf16 selects against i32-layout
     # masks are a relayout Mosaic rejects; mask->bf16 casts + multiplies
     # are native)
-    lo, hi = _x_selects(sub_ref[0][:, 0:1], chunk, cols_e)
+    lo, hi = _x_selects(lane[-1:, :], chunk, cols_e)
     xs = [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
     cxs = [1.0 - dlx, dlx]
 
-    dims = (((1,), (0,)), ((), ()))
+    # NT contraction: the point axis is the minor (lane) dim of BOTH
+    # operands; Mosaic's internal handling beats materialising either
+    # operand in the point-on-sublanes layout (see _x_selects)
+    dims = (((1,), (1,)), ((), ()))
     acc = None
     for j in (0, 1):
         mj = m * cxs[j]
@@ -857,20 +872,23 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
          * out_weight.astype(f32)[:, None])               # (B, P)
     planes = list(locs) + [w]
     fills = [0.0] * n_out + [0.0]                  # enc 0 = inert; w = 0
-    if with_residuals:
-        planes.append(jnp.broadcast_to(
-            jnp.arange(p, dtype=f32)[None, :], key.shape))
-        fills.append(float(p))   # fillers sort past every real point
+    # the point-id plane always rides the sort (packed into the key when
+    # the bits fit): the forward itself does not need it, but unique keys
+    # let the sort drop its stability tiebreaker — cheaper than the
+    # id-free stable sort it replaces
+    planes.append(jnp.broadcast_to(
+        jnp.arange(p, dtype=f32)[None, :], key.shape))
+    fills.append(float(p))       # fillers sort past every real point
     if halo:
         data, slot_tile = jax.vmap(
             lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         True, pack_idx=with_residuals)
+                                         True, pack_idx=True)
         )(key, *locs, *planes[n_out:])
     else:
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, *planes[n_out:])
-    lane, sub = _planes_fwd(data[:, :n_out + 1], ts, n_out)
+    lane = _planes_fwd(data[:, :n_out + 1], ts, n_out)
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -887,9 +905,6 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
             pl.BlockSpec((1, lane.shape[1], chunk),
                          lambda b, s, st: (b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, sub.shape[-1]),
-                         lambda b, s, st: (b, s, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, rows_e, cols_e),
@@ -901,9 +916,9 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
                           n_out=n_out, skip_dead=not interpret),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              lane, sub),
+                              lane),
         interpret=interpret,
-    )(slot_tile, lane, sub)
+    )(slot_tile, lane)
 
     if halo and not interpret and _fold_pl_ok(grid_size, ts):
         out = _fold_pl_2d(ext, grid_size, ts)[:, :grid_size[0],
@@ -1162,7 +1177,7 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     if halo:
         ops = lax.sort((idx_rows,) + tuple(buf[:, i]
                                            for i in range(n_out + 1)),
-                       dimension=1, num_keys=1)
+                       dimension=1, num_keys=1, is_stable=False)
         per = [o[:, :p] for o in ops[1:]]
     else:
         per = [buf[:, i, :p] for i in range(n_out + 1)]
