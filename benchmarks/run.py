@@ -31,6 +31,8 @@ CONFIGS = [
     ("128sq_1e5", 100_000, 64, (128, 128), 3, 153.0, 9.0),
     ("1024sq_1e5", 100_000, 64, (1024, 1024), 3, 154.0, 10.0),
     ("128cube_1e5", 100_000, 1, (128, 128, 128), 3, None, None),
+    # BASELINE cfg 4 at its stated size: 1M points, full gradients
+    ("128cube_1e6", 1_000_000, 1, (128, 128, 128), 3, None, None),
     ("1024cube_1e5", 100_000, 1, (1024, 1024, 1024), 3, 24.0, 17.0),
 ]
 
@@ -109,15 +111,21 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
         t_bwd = None
         rec["bwd_error"] = str(e)[:120]
     if with_grad:
-        # the actual training-loop cost: one fused fwd+bwd through the
-        # public API / custom_vjp (the binned backend's pullback reuses
-        # the forward's sorted frame there, skipping the binning prep —
-        # cheaper than the standalone fwd + bwd sum above)
+        # the actual training-loop cost: one fused value_and_grad step
+        # through the public API / custom_vjp (the binned backend's
+        # pullback reuses the forward's sorted frame there, skipping the
+        # binning prep — cheaper than the standalone fwd + bwd sum
+        # above).  The perturbation threads through BOTH the pose and
+        # the cotangent side: with a loop-invariant cotangent XLA hoists
+        # the pullback's grid-sized unfold out of the timing loop, and
+        # plain jax.grad (no value) lets it dead-code the forward's fold
+        # — both under-measure what a real training step pays.
         def gstep(c, gg):
             def loss_fn(tr_):
                 out = dprast.raster(grid, pts, rot, tr_, bg, ow, pw)
-                return jnp.sum(out * gg)
-            return jax.grad(loss_fn)(tr + c * 1e-30).ravel()[0]
+                return jnp.sum(out * (gg + c * 1e-30))
+            val, grads = jax.value_and_grad(loss_fn)(tr + c * 1e-30)
+            return val * 1e-30 + grads.ravel()[0]
         try:
             rec["t_grad_ms"] = round(_per_iter(gstep, g) * 1e3, 3)
         except Exception as e:

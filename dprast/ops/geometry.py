@@ -62,6 +62,52 @@ def zeros_vma(shape, dtype, *like):
     return z
 
 
+def _vma_erase_abstract(aval):
+    return aval.update(vma=frozenset())
+
+
+_vma_erase_p = None
+
+
+def vma_erase(x):
+    """Identity whose OUTPUT is typed axis-invariant (vma = {}).
+
+    A deliberate, scoped escape from shard_map's variance checker for ONE
+    value: Pallas scalar-prefetch tables.  Pallas traces BlockSpec index
+    maps inside the shard_map context and then re-evaluates the traced
+    jaxpr while hoisting block indices; the prefetch ref's load yields an
+    invariant value in one evaluation and a varying one in the other, so
+    ANY fixed cast sequence in the index map fails one of the two
+    (jax 0.9.0).  Erasing the table's vma before the pallas_call makes
+    both evaluations see invariant operands.  Soundness: the table only
+    drives which blocks each shard's kernel reads/writes — per-shard
+    block CHOICE needs no collective; every value-carrying operand keeps
+    its true vma and the kernel outputs declare theirs via `vma_union`,
+    so the checker still enforces the psums that matter.  Outside
+    shard_map this is the identity on an unchanged type."""
+    if not getattr(jax.typeof(x), "vma", frozenset()):
+        return x
+    global _vma_erase_p
+    if _vma_erase_p is None:
+        from jax.extend import core as jex_core
+        from jax.interpreters import mlir
+
+        p = jex_core.Primitive("dprast_vma_erase")
+        p.def_impl(lambda v: v)
+        p.def_abstract_eval(_vma_erase_abstract)
+        mlir.register_lowering(p, lambda ctx, v: [v])
+        _vma_erase_p = p
+    return _vma_erase_p.bind(x)
+
+
+def vma_assert(x, vma):
+    """Re-assert the varying manual axes a `vma_erase`d computation's
+    output truly has (a legal invariant->varying pcast)."""
+    if vma:
+        return jax.lax.pcast(x, tuple(vma), to="varying")
+    return x
+
+
 def voxel_shifts(n_out: int) -> np.ndarray:
     """All 2^N neighbour shifts, LSB-first bit order (reference `src/util.jl:26-27`).
 

@@ -136,14 +136,20 @@ def _single_tile(grid_size) -> bool:
 
 
 def _out_struct(shape, dtype, *like):
-    """Kernel out_shape whose varying-manual-axes match the inputs' union —
-    required under `jax.shard_map` (check_vma=True), where a pallas_call
-    must declare how its output varies over the mesh axes (per-shard
-    binning over the points axis, SURVEY §7.5)."""
-    vma = geometry.vma_union(*like)
-    if not vma:
+    """Kernel out_shape declaring itself axis-INVARIANT.
+
+    Every pallas_call in this backend runs on `vma_erase`d operands and
+    re-asserts the true union on its result via `geometry.vma_assert`
+    (see `geometry.vma_erase` for why the variance types cannot flow
+    THROUGH a pallas_call in jax 0.9.0: index-map re-evaluation and the
+    interpret-mode block slicing each reject one side of the mixed-vma
+    ops).  Under shard_map (check_vma=True) pallas demands an explicit
+    vma on the out struct; outside, the empty set is dropped."""
+    del like
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset())
+    except TypeError:  # pragma: no cover - older ShapeDtypeStruct
         return jax.ShapeDtypeStruct(shape, dtype)
-    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _interpret_default() -> bool:
@@ -668,7 +674,7 @@ def _fold_pl_2d(ext, grid_size, ts):
         out_b = jnp.where(ty_b > ty_a, out_b, 0.0)
         o_ref[0] = out_a + out_b
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(bsz, n_i),
         in_specs=[
@@ -682,9 +688,10 @@ def _fold_pl_2d(ext, grid_size, ts):
         ],
         out_specs=pl.BlockSpec((1, 128, wp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((bsz, n_i * 128, wp), jnp.float32, ext),
+        out_shape=_out_struct((bsz, n_i * 128, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((512, wp), jnp.float32)],
-    )(exr, exr)
+    )(geometry.vma_erase(exr), geometry.vma_erase(exr))
+    return geometry.vma_assert(out, geometry.vma_union(ext))
 
 
 def _fold_pl_ok(grid_size, ts) -> bool:
@@ -807,18 +814,18 @@ def _unfold_pl_2d(g_cot, grid_size, ts):
         w = jnp.where((ri < gy - y0) & (ci < gx - x0), w, 0.0)
         out_ref[0, 0] = w.T
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(bsz, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 1, t1 + 1, t0 + 1),
                                lambda bb, t: (bb, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((bsz, nt, t1 + 1, t0 + 1), jnp.float32,
-                              g_cot),
+        out_shape=_out_struct((bsz, nt, t1 + 1, t0 + 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((depth, fh, fw), jnp.float32),
                         pltpu.SemaphoreType.DMA((depth,))],
-    )(g_cot)
+    )(geometry.vma_erase(g_cot))
+    return geometry.vma_assert(out, geometry.vma_union(g_cot))
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
@@ -911,14 +918,15 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
             lambda b, s, st: (b, st[b, s], 0, 0),
             memory_space=pltpu.VMEM),
     )
+    vma = geometry.vma_union(slot_tile, lane)
     ext = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
                           n_out=n_out, skip_dead=not interpret),
         grid_spec=grid_spec,
-        out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32, slot_tile,
-                              lane),
+        out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32),
         interpret=interpret,
-    )(slot_tile, lane)
+    )(geometry.vma_erase(slot_tile), geometry.vma_erase(lane))
+    ext = geometry.vma_assert(ext, vma)
 
     if halo and not interpret and _fold_pl_ok(grid_size, ts):
         out = _fold_pl_2d(ext, grid_size, ts)[:, :grid_size[0],
@@ -1160,14 +1168,16 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                                lambda b, s, st: (b, 0, s),
                                memory_space=pltpu.VMEM),
     )
+    vma = geometry.vma_union(slot_tile, lane_b, g_in)
     buf = pl.pallas_call(
         functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
                           n_out=n_out, skip_dead=not interpret),
         grid_spec=grid_spec,
-        out_shape=_out_struct((bsz, n_out + 1, s_pad), f32, slot_tile,
-                              lane_b, g_in),
+        out_shape=_out_struct((bsz, n_out + 1, s_pad), f32),
         interpret=interpret,
-    )(slot_tile, lane_b, g_in)
+    )(geometry.vma_erase(slot_tile), geometry.vma_erase(lane_b),
+      geometry.vma_erase(g_in))
+    buf = geometry.vma_assert(buf, vma)
 
     # ---- everything below is plain XLA on the raw per-row gradients ----
     # unsort the raw kernel rows by point id (one batched multi-operand

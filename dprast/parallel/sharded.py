@@ -175,16 +175,13 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
 def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
                       background, out_weight, point_weight):
     n_out = len(grid_size)
-    # The binned backend's scalar-prefetch index maps slice a per-shard slot
-    # table; JAX's vma checker rejects that mixed-variance dynamic_slice
-    # (its own error suggests check_vma=False as the workaround).  The
-    # forward's collectives are explicit psums either way; only the
-    # automatic variance *checking* is disabled on this path.
-    check_vma = backend != "binned"
+    # vma checking stays ON for every backend: the binned backend's
+    # scalar-prefetch index maps pcast their grid indices to the slot
+    # table's varying axes before slicing it (`splat_binned._st_index_map`),
+    # which was the one mixed-variance op the checker used to reject.
+    check_vma = True
 
     def vary(x, axis):
-        if not check_vma:
-            return x
         return lax.pcast(x, axis, to="varying")
 
     def local(pts, rot, tr, bg, ow, pw):
