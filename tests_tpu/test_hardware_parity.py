@@ -79,6 +79,68 @@ def test_matmul_parity_flagship():
     _check_hardware(fwd, bwd, grid, args)
 
 
+def test_1m_points_128cube_cross_backend():
+    """BASELINE config 4 at its stated size: 1M points into 128^3 with
+    full gradients.  The f64 loop oracle is infeasible at this scale, so
+    the COMPILED binned kernels are checked against the scatter oracle
+    backend (an independent algorithm on the same device): forward images
+    and all six gradients, scale-normalised."""
+    grid = (128, 128, 128)
+    p = 1_000_000
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.standard_normal((p, 3)) * 0.4, jnp.float32)
+    rot = jnp.asarray(np.eye(3)[None], jnp.float32)
+    tr = jnp.asarray(rng.standard_normal((1, 3)) * 0.1, jnp.float32)
+    bg = jnp.zeros((1,), jnp.float32)
+    ow = jnp.ones((1,), jnp.float32)
+    pw = jnp.asarray(rng.uniform(0.5, 2.0, p), jnp.float32)
+    args = (pts, rot, tr, bg, ow, pw)
+
+    out_b = jax.jit(functools.partial(
+        splat_binned.raster_fwd, grid, interpret=False))(*args)
+    out_x = jax.jit(lambda *a: dprast.raster(grid, *a, backend="xla"))(*args)
+    sc = max(float(jnp.max(jnp.abs(out_x))), 1.0)
+    np.testing.assert_allclose(np.asarray(out_b) / sc,
+                               np.asarray(out_x) / sc, atol=2e-5)
+
+    g = jnp.asarray(rng.standard_normal((1,) + grid), jnp.float32)
+    res_b = jax.jit(functools.partial(
+        splat_binned.raster_pullback, grid, interpret=False))(*args, g)
+    res_x = jax.jit(lambda *a: dprast.raster_pullback(
+        a[-1], *a[:-1], backend="xla"))(*args, g)
+    for name in res_b._fields:
+        ref = np.asarray(getattr(res_x, name), np.float64)
+        sc = max(float(np.max(np.abs(ref))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_b, name), np.float64) / sc, ref / sc,
+            atol=2e-5, err_msg=f"grad {name} at 1M points")
+
+
+def test_shard_map_binned_compiled_single_chip():
+    """The binned backend COMPILED inside jax.shard_map on real hardware
+    (vma-typed kernels, scalar-prefetch index maps, check_vma=True): a
+    1-device mesh exercises the whole shard_map lowering path the
+    multi-chip layout uses (VERDICT r2 #5) and must equal the unsharded
+    raster exactly."""
+    from dprast.parallel import make_mesh, raster_sharded
+
+    mesh = make_mesh()  # all local devices on the poses axis
+    grid = (256, 256)
+    args = _pose_args(seed=9, n_points=3000, batch=3)
+    jargs = tuple(jnp.asarray(a) for a in args)
+    out_sh = raster_sharded(grid, *jargs, mesh=mesh, backend="binned")
+    out_ref = dprast.raster(grid, *jargs, backend="binned")
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               atol=1e-6)
+
+    def loss(pts):
+        return jnp.sum(raster_sharded(grid, pts, *jargs[1:], mesh=mesh,
+                                      backend="binned") ** 2)
+
+    gp = jax.jit(jax.grad(loss))(jargs[0])
+    assert np.all(np.isfinite(np.asarray(gp)))
+
+
 def test_grad_1024sq_end_to_end():
     """`jax.grad` of a 1024^2 raster through the PUBLIC API must compile
     and run on this TPU (VERDICT r1 #4: auto-dispatch must never surface a
