@@ -139,10 +139,104 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
     return rec
 
 
+def run_multihost(args):
+    """Pod-ready weak-scaling benchmark (BASELINE config 5 harness).
+
+    Launch the SAME command on every host (or pass --coordinator /
+    --num-processes / --process-id explicitly, e.g. for the two-process
+    CPU-transport validation in tests/test_multihost_bench.py).  Work
+    scales with the mesh: poses with the "poses" axis, points with the
+    "points" axis, so per-chip work is constant and
+
+        efficiency = per-chip splats/s  /  --baseline (the 1-chip row)
+
+    is the >=85% north-star number (BASELINE.md) the day >=2 real hosts
+    exist.  At BASELINE config 5's size run it as
+    ``--multihost --mh-points 100000000 --mh-poses 1024`` with a points
+    axis of >=8 shards (the binned per-shard point-id cap is 2^24).
+    Process 0 prints one JSON line.
+    """
+    import jax
+
+    # a JAX_PLATFORMS env override must be applied via the config BEFORE
+    # the backend initialises — pre-registered platform plugins (e.g. the
+    # axon TPU tunnel) otherwise outrank the env var
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from dprast.parallel import multihost
+
+    multihost.initialize(args.coordinator, args.num_processes,
+                         args.process_id)
+
+    import jax.numpy as jnp
+
+    from dprast.parallel import raster_sharded
+
+    mesh = multihost.pod_mesh()
+    n_chips = jax.device_count()
+    n_poses_sh = mesh.shape["poses"]
+    n_points_sh = mesh.shape["points"]
+    grid = tuple(int(x) for x in args.mh_grid.split(","))
+    b = args.mh_poses if args.mh_poses else 64 * n_poses_sh
+    p = args.mh_points if args.mh_points else 100_000 * n_points_sh
+
+    rng = np.random.default_rng(0)          # identical data everywhere
+    pts = jnp.asarray(rng.standard_normal((p, 3)) * 0.4, jnp.float32)
+    angles = np.linspace(0, 2 * np.pi, b, endpoint=False)
+    rot = np.zeros((b, len(grid), 3), np.float32)
+    rot[:, 0, 0] = np.cos(angles)
+    rot[:, 0, 2] = -np.sin(angles)
+    rot[:, 1, 1] = 1.0
+    rot = jnp.asarray(rot)
+    tr = jnp.asarray(rng.standard_normal((b, len(grid))) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b,) + grid), jnp.float32)
+
+    def loss_fn(pts_, tr_, g_):
+        out = raster_sharded(grid, pts_, rot, tr_, mesh=mesh)
+        return jnp.sum(out * g_)
+
+    def step(c, g_):
+        val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            pts, tr + c * 1e-30, g_ + c * 1e-30)
+        return val * 1e-30 + grads[0].ravel()[0]
+
+    t = _per_iter(step, g)
+    splats = p * b * 2 ** len(grid)
+    per_chip = splats / t / n_chips
+    rec = {"multihost": True, "n_processes": jax.process_count(),
+           "n_chips": n_chips,
+           "mesh": {k: int(v) for k, v in mesh.shape.items()},
+           "grid": list(grid), "n_points": p, "batch": b,
+           "t_step_ms": round(t * 1e3, 3),
+           "splats_per_s_per_chip": per_chip}
+    if args.baseline:
+        rec["efficiency_vs_1chip"] = round(per_chip / args.baseline, 4)
+    if jax.process_index() == 0:
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--multihost", action="store_true",
+                    help="weak-scaling fused-step benchmark over the pod "
+                    "mesh (see run_multihost)")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--mh-grid", default="128,128")
+    ap.add_argument("--mh-points", type=int, default=None,
+                    help="total points (default 1e5 per points-shard)")
+    ap.add_argument("--mh-poses", type=int, default=None,
+                    help="total poses (default 64 per poses-shard)")
+    ap.add_argument("--baseline", type=float, default=None,
+                    help="1-chip splats/s for the efficiency ratio")
     ap.add_argument("--out", default=None,
                     help="also append result rows to this JSON-lines file")
     ap.add_argument("--grad", action="store_true",
@@ -151,6 +245,9 @@ def main():
                     help="run on XLA:CPU (the reference's CPU columns) "
                     "instead of the default TPU device")
     args = ap.parse_args()
+    if args.multihost:
+        run_multihost(args)
+        return
     if args.platform == "cpu":
         import jax
         # the env var alone does not beat pre-registered platform
