@@ -181,7 +181,7 @@ def raster(grid_size, points, rotation, translation, background=None,
       out_weight: scalar — or (B,) per pose. Default 1.
       point_weight: scalar or (P,) per point. Default 1.
       dtype: result dtype; defaults to the promoted input dtype (>= float32).
-      backend: 'auto' | 'xla' | 'matmul' | 'matmul_bf16' | 'pallas' |
+      backend: 'auto' | 'xla' | 'matmul' | 'matmul_bf16' |
         'binned' kernel strategy ('auto' may resolve the forward and
         backward to different strategies, `dispatch.resolve_pair`).
 

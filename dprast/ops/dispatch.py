@@ -8,7 +8,6 @@ a *kernel strategy*:
 
 - ``"xla"``     pure-jnp scatter/gather oracle (`dprast.ops.core`) — any dims
 - ``"matmul"``  scatter-free MXU contraction (`dprast.ops.splat_matmul`)
-- ``"pallas"``  fused small-grid Pallas kernels (`dprast.ops.pallas_splat`)
 - ``"binned"``  slot-scheduled tile-binned Pallas kernels for any
                 tile-aligned 2D/3D grid (`dprast.ops.splat_binned`)
 - ``"auto"``    best available for the given dims / grid / platform
@@ -20,8 +19,7 @@ import functools
 
 import jax
 
-from dprast.ops import (core, geometry, pallas_splat, splat_binned,
-                        splat_matmul)
+from dprast.ops import core, geometry, splat_binned, splat_matmul
 
 _REGISTRY = {}
 
@@ -52,9 +50,10 @@ register("matmul_bf16",
          functools.partial(splat_matmul.raster_pullback, terms=1),
          lambda n_out, grid=None, n_points=None:
          splat_matmul.supported(n_out))
-register("pallas", pallas_splat.raster_fwd, pallas_splat.raster_pullback,
-         lambda n_out, grid=None, n_points=None:
-         pallas_splat.supported(n_out, grid))
+# (a fifth backend, "pallas" — a fused small-grid kernel pair — was
+# removed in r3: auto-dispatch never selected it because it lost to
+# "matmul" in its own regime on hardware, and the binned backend
+# subsumed its large-grid ambitions; VERDICT r2 #8)
 register("binned", splat_binned.raster_fwd, splat_binned.raster_pullback,
          splat_binned.supported,
          vjp_pair=(splat_binned.raster_fwd_res,

@@ -27,9 +27,9 @@ NO_T = [0.0, 0.0]
 T_HALF_RIGHT = [0.0, 0.2]
 T_1PIX_DOWN = [0.4, 0.0]
 
-# pallas runs via the Pallas interpreter on CPU (the reference's
+# binned runs via the Pallas interpreter on CPU (the reference's
 # "GPU tests self-skip without a device" analogue, but never skipped)
-BACKENDS = ["xla", "matmul", "pallas"]
+BACKENDS = ["xla", "matmul", "binned"]
 
 CASES = [
     # (points, rotation, translation, background, out_weight, point_weight,

@@ -174,7 +174,7 @@ def test_matmul_bf16_fast_mode_close():
                                np.asarray(ref) / scale, atol=2e-2)
 
 
-@pytest.mark.parametrize("backend", ["pallas", "binned"])
+@pytest.mark.parametrize("backend", ["binned"])
 @pytest.mark.parametrize("n_in,n_out", [(3, 2), (3, 3)])
 def test_check_grads_kernel_backends(backend, n_in, n_out):
     """Finite-difference checks on the Pallas-kernel backends (through the

@@ -13,28 +13,24 @@ from dprast.utils.testing import (fixtures, raster_numpy,
                                   raster_pullback_numpy)
 
 
-@pytest.mark.parametrize("backend", ["xla", "matmul", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "matmul", "binned"])
 @pytest.mark.parametrize("n_in,n_out", [(2, 2), (3, 2), (3, 3)])
 def test_fwd_matches_numpy_oracle(backend, n_in, n_out):
-    if n_out != 2 and backend == "pallas":
-        pytest.skip("pallas kernels are 2D-output")
     fx = fixtures(seed=11, n_points=200, batch_size=4, n_in=n_in,
                   n_out=n_out)
     grid = (12,) * n_out
     want = raster_numpy(grid, *fx.values())
     args = tuple(jnp.asarray(v, jnp.float64) for v in fx.values())
     got = np.asarray(dispatch.fwd_fn(backend)(grid, *args))
-    # normalise: pallas computes in f32, so absolute tolerance must sit at
+    # normalise: kernels compute in f32, so absolute tolerance must sit at
     # f32-roundoff relative to the image scale (still well under 1e-5).
     scale = max(np.max(np.abs(want)), 1.0)
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
 
 
-@pytest.mark.parametrize("backend", ["xla", "matmul", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "matmul", "binned"])
 @pytest.mark.parametrize("n_in,n_out", [(3, 2), (3, 3)])
 def test_bwd_matches_numpy_oracle(backend, n_in, n_out):
-    if n_out != 2 and backend == "pallas":
-        pytest.skip("pallas kernels are 2D-output")
     fx = fixtures(seed=12, n_points=150, batch_size=4, n_in=n_in,
                   n_out=n_out)
     grid = (10,) * n_out

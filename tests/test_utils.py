@@ -13,7 +13,7 @@ from dprast.utils.testing import fixtures
 def test_public_api_surface():
     for name in dprast.__all__:
         assert hasattr(dprast, name), name
-    assert set(dprast.available_backends()) >= {"xla", "matmul", "pallas",
+    assert set(dprast.available_backends()) >= {"xla", "matmul",
                                                 "binned"}
     assert dprast.default_backend() == "auto"
 
