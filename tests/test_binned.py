@@ -14,6 +14,8 @@ from dprast.utils.testing import (fixtures, raster_numpy,
                                   raster_pullback_numpy)
 
 
+pytestmark = pytest.mark.slow  # multi-minute: interpret-mode kernels / process groups
+
 def _check(fx, grid, chunk=128, seed=7, tol=8e-6):
     args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
     np_args = [np.asarray(a) for a in args]

@@ -20,6 +20,8 @@ GRID2 = (16, 16)
 MESHES = [(8, 1), (1, 8), (4, 2), (2, 4)]
 
 
+pytestmark = pytest.mark.slow  # multi-minute: interpret-mode kernels / process groups
+
 def _args(n_points=37, batch=8, n_in=3, n_out=2):
     # n_points deliberately not divisible by any points-shard count
     # (padding path), batch divisible by every poses-shard count.
