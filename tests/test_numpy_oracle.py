@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import dprast
 from dprast.ops import core, dispatch
 from dprast.utils.testing import (fixtures, raster_numpy,
                                   raster_pullback_numpy)
@@ -44,3 +45,33 @@ def test_bwd_matches_numpy_oracle(backend, n_in, n_out):
         np.testing.assert_allclose(np.asarray(getattr(got, name)) / scale,
                                    w / scale, rtol=1e-5, atol=1e-5,
                                    err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("n_in,n_out,grid",
+                         [(3, 1, (32,)), (4, 4, (6, 6, 6, 6)),
+                          (4, 2, (24, 24))])
+def test_generic_rank_oracle_fallback(n_in, n_out, grid):
+    """The reference's kernels are N-generic (`src/raster.jl:36-66` via
+    type-parameter dims); here N_out outside the kernel backends' {2, 3}
+    resolves to the xla scatter oracle under 'auto' — correct and
+    differentiable at any rank (documented in docs/api.md)."""
+    fx = fixtures(seed=12, n_points=60, batch_size=3, n_in=n_in,
+                  n_out=n_out)
+    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
+    np_args = [np.asarray(a, np.float64) for a in args]
+    out = dprast.raster(grid, *args)
+    ref = raster_numpy(grid, *np_args)
+    sc = max(float(np.max(np.abs(ref))), 1.0)
+    np.testing.assert_allclose(np.asarray(out, np.float64) / sc, ref / sc,
+                               atol=1e-6)
+
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(ref.shape),
+                    jnp.float32)
+    res = dprast.raster_pullback(g, *args)
+    ref_b = raster_pullback_numpy(grid, *np_args, np.asarray(g, np.float64))
+    for name in res._fields:
+        rr = ref_b[name]
+        sc = max(float(np.max(np.abs(rr))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(getattr(res, name), np.float64) / sc, rr / sc,
+            atol=1e-6, err_msg=f"grad {name} rank {n_in}->{n_out}")
