@@ -25,7 +25,8 @@ from dprast.ops import splat_binned
 from dprast.ops.splat_binned import (_default_chunk, _fold, _fold_pl_2d,
                                      _fold_pl_ok, _unfold, _unfold_pl_2d,
                                      _keys_and_local, _prep_binned,
-                                     n_tiles, tile_shape_for)
+                                     _prep_binned_all, n_tiles,
+                                     tile_shape_for)
 from benchmarks.timing import per_iter as _shared_per_iter
 
 
@@ -64,10 +65,8 @@ def main():
         w = pw[None, :] * ow[:, None]
         ptidx = jnp.broadcast_to(
             jnp.arange(p, dtype=jnp.float32)[None, :], key.shape)
-        return jax.vmap(
-            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         True, pack_idx=True)
-        )(key, *locs, w, ptidx)
+        return _prep_binned_all(key, list(locs) + [w, ptidx], fills, nt,
+                                chunk, True, pack_idx=True)
 
     data, slot_tile = jax.jit(prep)(tr)
     data.block_until_ready()
@@ -197,9 +196,18 @@ def main():
     idx_rows = data[:, n_out + 1]
 
     def unsort(c, buf_, idx_):
+        # mirrors _pullback_from_frame's batch-size-dependent choice
+        if b <= 8:
+            seg = (jnp.arange(b, dtype=jnp.int32) << 24)[:, None]
+            kf = ((idx_ + c * 1e-30).astype(jnp.int32) + seg).reshape(-1)
+            ops = lax.sort((kf,) + tuple(buf_[:, i].reshape(-1)
+                                         for i in range(n_out + 1)),
+                           dimension=0, num_keys=1, is_stable=False)
+            return sum(o.reshape(b, -1)[:, :p].ravel()[0]
+                       for o in ops[1:])
         ops = lax.sort((idx_ + c * 1e-30,)
                        + tuple(buf_[:, i] for i in range(n_out + 1)),
-                       dimension=1, num_keys=1)
+                       dimension=1, num_keys=1, is_stable=False)
         return sum(o[:, :p].ravel()[0] for o in ops[1:])
 
     t = per_iter(unsort, (buf, idx_rows))

@@ -272,16 +272,27 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
         planes = planes[:-1]
 
     iota_t = jnp.arange(nt, dtype=jnp.int32)
-    if nt <= 256:
+    if nt <= 128:
         # broadcast compare-reduce: O(nt*p) but regular VPU work — faster
         # than a scatter at small tile counts (the measured regimes)
         counts = jnp.sum(key[None, :] == iota_t[:, None], axis=1,
                          dtype=jnp.int32)                 # (nt,)
     else:
-        # O(p) histogram for many-tile grids (supported() admits up to
-        # 4096 tiles, where the compare-reduce would do nt*p ~ 4e8 ops)
-        counts = jnp.zeros((nt,), jnp.int32).at[key].add(
-            1, mode="drop")                               # key==nt dropped
+        # histogram by MATMUL: counts[64*hi + lo] = sum_p 1[key>>6 == hi]
+        # * 1[key&63 == lo] — two exact {0,1} one-hots contracted on the
+        # MXU, O(p * (nt/64 + 64)) one-hot builds + an (nh, p)@(p, 64)
+        # dot.  Exact: products are 0/1 and per-bin sums stay under 2^24.
+        # Replaces an `.at[key].add` scatter that measured ~7 ms at
+        # (nt=342, p=1e6) on v5e — TPU scatters serialise.  The sentinel
+        # key == nt lands past the slice.
+        nh = -(-(nt + 1) // 64)
+        hi = (key >> 6)[None, :] == jnp.arange(nh, dtype=jnp.int32)[:, None]
+        lo = (key & 63)[None, :] == jnp.arange(64, dtype=jnp.int32)[:, None]
+        c2 = lax.dot_general(hi.astype(jnp.bfloat16),
+                             lo.astype(jnp.bfloat16),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        counts = c2.reshape(-1)[:nt].astype(jnp.int32)
     padded = -(-counts // chunk) * chunk
     if min_chunk_per_tile:
         padded = jnp.maximum(padded, chunk)
@@ -325,6 +336,23 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
     slot_tile = jnp.minimum(tile_of, nt - 1)
     n_live = poffs[nt] // chunk
     return data, jnp.concatenate([slot_tile, n_live[None]])
+
+
+def _prep_binned_all(key, planes, fills, nt, chunk, min_chunk, pack_idx):
+    """`_prep_binned` over the pose axis.  B >= 2 vmaps it (XLA's TPU sort
+    is efficient along the minor axis of a real batch); B == 1 calls it
+    squeezed — the batched (1, n) dim-1 sort lowers to a DIFFERENT, ~10x
+    slower implementation than the identical 1-D (n,) sort (measured v5e
+    at 1.09M rows key+3: 26.8 vs 2.9 ms), and the single-pose volumetric
+    configs live exactly there."""
+    if key.shape[0] == 1:
+        data, st = _prep_binned(key[0], [pl_[0] for pl_ in planes], fills,
+                                nt, chunk, min_chunk, pack_idx=pack_idx)
+        return data[None], st[None]
+    return jax.vmap(
+        lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
+                                     min_chunk, pack_idx=pack_idx)
+    )(key, *planes)
 
 
 def _slot_frame_size(p, nt, chunk):
@@ -887,10 +915,8 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         jnp.arange(p, dtype=f32)[None, :], key.shape))
     fills.append(float(p))       # fillers sort past every real point
     if halo:
-        data, slot_tile = jax.vmap(
-            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         True, pack_idx=True)
-        )(key, *locs, *planes[n_out:])
+        data, slot_tile = _prep_binned_all(key, planes, fills, nt, chunk,
+                                           True, pack_idx=True)
     else:
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
@@ -1079,10 +1105,8 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     # fills: enc 0 = inert coords; ptidx p (sorts past every real point)
     fills = [0.0] * n_out + [float(p)]
     if halo:
-        data, slot_tile = jax.vmap(
-            lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                         False, pack_idx=True)
-        )(key, *locs, ptidx)
+        data, slot_tile = _prep_binned_all(key, list(locs) + [ptidx], fills,
+                                           nt, chunk, False, pack_idx=True)
     else:
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
@@ -1185,10 +1209,25 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     # SLOWER than re-sorting every plane — TPU sorts beat gathers).  The
     # direct path keeps original order and needs nothing.
     if halo:
-        ops = lax.sort((idx_rows,) + tuple(buf[:, i]
-                                           for i in range(n_out + 1)),
-                       dimension=1, num_keys=1, is_stable=False)
-        per = [o[:, :p] for o in ops[1:]]
+        if bsz <= 8:
+            # small pose batches: ONE flat 1-D sort with the pose id
+            # packed above the point id (pids < 2^24 by `supported`, so
+            # the bits always fit) — XLA's batched dim-1 sort lowers to
+            # a ~10x slower implementation when the batch is this small
+            # (measured v5e, (1, 1.09M) key+4: 38 -> ~3.5 ms).  Each
+            # segment holds exactly s_pad rows, so the reshape back is
+            # exact.
+            seg = (jnp.arange(bsz, dtype=jnp.int32) << 24)[:, None]
+            kf = (idx_rows.astype(jnp.int32) + seg).reshape(-1)
+            ops = lax.sort((kf,) + tuple(buf[:, i].reshape(-1)
+                                         for i in range(n_out + 1)),
+                           dimension=0, num_keys=1, is_stable=False)
+            per = [o.reshape(bsz, s_pad)[:, :p] for o in ops[1:]]
+        else:
+            ops = lax.sort((idx_rows,) + tuple(buf[:, i]
+                                               for i in range(n_out + 1)),
+                           dimension=1, num_keys=1, is_stable=False)
+            per = [o[:, :p] for o in ops[1:]]
     else:
         per = [buf[:, i, :p] for i in range(n_out + 1)]
     du_pt = jnp.stack(per[:n_out], axis=1)                # (B, n_out, P)
