@@ -56,6 +56,21 @@ def test_volume_3d():
     _check(fx, (128, 128, 128))
 
 
+def test_single_pose_batch():
+    """batch == 1 takes the squeezed 1-D sort paths (prep without vmap,
+    flat segment-keyed unsort) — the volumetric benchmark configs live
+    there (XLA's (1, n) batched sort is ~10x slower than the identical
+    (n,) sort).  Sort-path equivalence is exact (verified: batch-1 ==
+    duplicated-pose batch-2 bit-for-bit); the 2e-5 tolerance covers the
+    2-term bf16-split worst case (~2^-16.6 relative per gathered value)
+    which this seed's pose-gradient sign cancellation amplifies — an
+    accuracy property of the backend, not of the batch-1 paths."""
+    fx = fixtures(seed=13, n_points=350, batch_size=1, n_in=3, n_out=3)
+    _check(fx, (128, 128, 128), tol=2e-5)
+    fx = fixtures(seed=14, n_points=250, batch_size=1, n_in=3, n_out=2)
+    _check(fx, (256, 256), tol=2e-5)
+
+
 def test_sparse_cloud_many_empty_tiles():
     # a tight cluster: most tiles empty (exercises the min-chunk fwd
     # guarantee that writes zeros into never-visited output blocks)
