@@ -39,7 +39,18 @@ def chained_time(step, extra, k, reps=3):
 
 
 def per_iter(step, *extra, k1=2, k2=6):
-    """Per-iteration seconds of `step`, linear-fitted over two K values."""
+    """Per-iteration seconds of `step`, linear-fitted over two K values.
+
+    Sub-millisecond steps drown in dispatch/fetch noise at the default
+    K's (the fit can even go to zero); when the measured delta is under
+    ~10 ms the K's are scaled up so the delta spans >= ~30 ms."""
     t1 = chained_time(step, extra, k1)
     t2 = chained_time(step, extra, k2)
+    if t2 - t1 < 10e-3:
+        per = max((t2 - t1) / (k2 - k1), 20e-6)
+        scale = min(max(int(30e-3 / (per * (k2 - k1))), 2), 64)
+        k1b, k2b = k1 * scale, k2 * scale
+        t1 = chained_time(step, extra, k1b)
+        t2 = chained_time(step, extra, k2b)
+        return max((t2 - t1) / (k2b - k1b), 1e-9)
     return max((t2 - t1) / (k2 - k1), 1e-9)

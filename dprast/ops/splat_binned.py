@@ -338,21 +338,34 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
     return data, jnp.concatenate([slot_tile, n_live[None]])
 
 
+_SORT_BATCH = 16
+
+
 def _prep_binned_all(key, planes, fills, nt, chunk, min_chunk, pack_idx):
-    """`_prep_binned` over the pose axis.  B >= 2 vmaps it (XLA's TPU sort
-    is efficient along the minor axis of a real batch); B == 1 calls it
-    squeezed — the batched (1, n) dim-1 sort lowers to a DIFFERENT, ~10x
-    slower implementation than the identical 1-D (n,) sort (measured v5e
-    at 1.09M rows key+3: 26.8 vs 2.9 ms), and the single-pose volumetric
-    configs live exactly there."""
-    if key.shape[0] == 1:
+    """`_prep_binned` over the pose axis, in vmap chunks of <= 16 poses.
+
+    XLA's TPU sort has TWO batch-size cliffs (all measured v5e at
+    ~1e5-row key+3 sequences): the (1, n) dim-1 form lowers to a ~10x
+    slower implementation than the identical 1-D (n,) sort (26.8 vs
+    2.9 ms at 1.09M rows) — so B == 1 calls `_prep_binned` squeezed —
+    and throughput degrades past ~16 batch rows (one (64, n) sort
+    15.8 ms vs 4 x (16, n) 12.2 ms) — so larger batches vmap in
+    chunks."""
+    b = key.shape[0]
+    if b == 1:
         data, st = _prep_binned(key[0], [pl_[0] for pl_ in planes], fills,
                                 nt, chunk, min_chunk, pack_idx=pack_idx)
         return data[None], st[None]
-    return jax.vmap(
+    fn = jax.vmap(
         lambda k, *pls: _prep_binned(k, list(pls), fills, nt, chunk,
-                                     min_chunk, pack_idx=pack_idx)
-    )(key, *planes)
+                                     min_chunk, pack_idx=pack_idx))
+    if b <= _SORT_BATCH:
+        return fn(key, *planes)
+    outs = [fn(key[i:i + _SORT_BATCH],
+               *(pl_[i:i + _SORT_BATCH] for pl_ in planes))
+            for i in range(0, b, _SORT_BATCH)]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))
 
 
 def _slot_frame_size(p, nt, chunk):
@@ -1224,10 +1237,18 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                            dimension=0, num_keys=1, is_stable=False)
             per = [o.reshape(bsz, s_pad)[:, :p] for o in ops[1:]]
         else:
-            ops = lax.sort((idx_rows,) + tuple(buf[:, i]
-                                               for i in range(n_out + 1)),
-                           dimension=1, num_keys=1, is_stable=False)
-            per = [o[:, :p] for o in ops[1:]]
+            # chunked: one (64, n) sort is ~30% slower than 4 x (16, n)
+            # (see _prep_binned_all)
+            pers = []
+            for i in range(0, bsz, _SORT_BATCH):
+                sl = slice(i, i + _SORT_BATCH)
+                ops = lax.sort(
+                    (idx_rows[sl],) + tuple(buf[sl, i2]
+                                            for i2 in range(n_out + 1)),
+                    dimension=1, num_keys=1, is_stable=False)
+                pers.append([o[:, :p] for o in ops[1:]])
+            per = [jnp.concatenate([c[k] for c in pers])
+                   for k in range(n_out + 1)]
     else:
         per = [buf[:, i, :p] for i in range(n_out + 1)]
     du_pt = jnp.stack(per[:n_out], axis=1)                # (B, n_out, P)
