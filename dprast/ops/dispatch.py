@@ -123,11 +123,12 @@ def resolve_pair(backend: str, n_out: int, grid_size=None,
     The two directions have different optimal strategies in some regimes
     (the reference itself mixes: KernelAbstractions forward, hand-written
     CUDA backward — `src/raster.jl:36` vs `ext/...CUDAExt.jl:19`).
-    Measured v5e at the flagship 128^2 x 64 x 1e5 config: matmul forward
-    7.9 ms vs binned 15.1, but binned backward 8.0 ms vs matmul 10.5 —
-    'auto' therefore pairs the matmul forward with the binned backward on
-    single-tile 2D grids (where the binned frame needs no sort and no
-    unsort).  Explicit backend names always apply to both directions.
+    Measured v5e at the flagship 128^2 x 64 x 1e5 config (r3 kernels):
+    matmul forward 7.0 ms vs binned 7.4, but binned backward 8.9 ms vs
+    matmul 10.3 — 'auto' therefore pairs the matmul forward with the
+    binned backward on single-tile 2D grids (where the binned frame
+    needs no sort and no unsort).  Explicit backend names always apply
+    to both directions.
     """
     name = resolve(backend, n_out, grid_size, n_points)
     if (backend == "auto" and name == "matmul" and grid_size is not None
