@@ -188,6 +188,11 @@ def run_multihost(args):
     rot[:, 0, 0] = np.cos(angles)
     rot[:, 0, 2] = -np.sin(angles)
     rot[:, 1, 1] = 1.0
+    if len(grid) == 3:
+        # full rotation: without the third row every point collapses
+        # onto one z-plane — a degenerate, tile-imbalanced 3D workload
+        rot[:, 2, 0] = np.sin(angles)
+        rot[:, 2, 2] = np.cos(angles)
     rot = jnp.asarray(rot)
     tr = jnp.asarray(rng.standard_normal((b, len(grid))) * 0.1, jnp.float32)
     g = jnp.asarray(rng.standard_normal((b,) + grid), jnp.float32)

@@ -284,14 +284,25 @@ def _prep_binned(key, planes, fills, nt, chunk, min_chunk_per_tile,
         # dot.  Exact: products are 0/1 and per-bin sums stay under 2^24.
         # Replaces an `.at[key].add` scatter that measured ~7 ms at
         # (nt=342, p=1e6) on v5e — TPU scatters serialise.  The sentinel
-        # key == nt lands past the slice.
+        # key == nt lands past the slice.  The one-hot operands are built
+        # in point-axis chunks: at the supported extremes (p near 2^24,
+        # nt up to 4096) a single (nh, p) + (64, p) bf16 pair is several
+        # GB per pose inside a 16-pose vmap chunk — partial counts cost
+        # the same MXU work with O(chunk) operand memory.
         nh = -(-(nt + 1) // 64)
-        hi = (key >> 6)[None, :] == jnp.arange(nh, dtype=jnp.int32)[:, None]
-        lo = (key & 63)[None, :] == jnp.arange(64, dtype=jnp.int32)[:, None]
-        c2 = lax.dot_general(hi.astype(jnp.bfloat16),
-                             lo.astype(jnp.bfloat16),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+        p_hist = 1 << 20
+        iot_h = jnp.arange(nh, dtype=jnp.int32)[:, None]
+        iot_l = jnp.arange(64, dtype=jnp.int32)[:, None]
+        c2 = None
+        for c0 in range(0, p, p_hist):
+            kc = lax.slice_in_dim(key, c0, min(c0 + p_hist, p))
+            hi = (kc >> 6)[None, :] == iot_h
+            lo = (kc & 63)[None, :] == iot_l
+            part = lax.dot_general(hi.astype(jnp.bfloat16),
+                                   lo.astype(jnp.bfloat16),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+            c2 = part if c2 is None else c2 + part
         counts = c2.reshape(-1)[:nt].astype(jnp.int32)
     padded = -(-counts // chunk) * chunk
     if min_chunk_per_tile:
@@ -431,9 +442,8 @@ def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
 
 
 def _planes_fwd(data, ts, n_out):
-    """(lane (B, L, s_pad) f32, sub (B, s_pad, 1) f32) for the forward
-    kernel from frame planes ``data`` (B, n_out+1, s_pad) =
-    (enc coords..., w).
+    """Lane-plane stack (B, L, s_pad) f32 for the forward kernel from
+    frame planes ``data`` (B, n_out+1, s_pad) = (enc coords..., w).
 
     lane: the decoded row-axis hat parameters plus the point weight and
     the x interpolation delta — 2D ``[iy0, dly, w, dlx]``, 3D
@@ -448,13 +458,16 @@ def _planes_fwd(data, ts, n_out):
     bf16 value rows per point through HBM; measured v5e, 1024², the
     hat form cut fwd kernel+planes time ~2x).  Inert filler rows decode
     to ``r0 = -3`` and never reach ``|.| < 1``.
-    The x-target ``ix0`` rides as the LAST lane row and is transposed to
-    a (C, 1) column in-kernel (one tiny relayout per instance).  It used
-    to ship as a separate (B, s_pad, 1) sublane-plane operand — XLA
-    relaid the sort output lane-major -> sublane-major with a 5.9 ms
-    copy at 1024^2 x 64 x 1e5 (traced), 3x the cost of the whole Pallas
-    fold.  The x side stays a pure {0, 1} one-hot COLUMN pair, so every
-    matmul keeps the exact bf16-split x one-hot contract."""
+    The x-target ``ix0`` rides as the LAST lane row; the kernel builds
+    the two TRANSPOSED (cols_e, C) x one-hot masks lane-major straight
+    from that row (`_x_selects`) and consumes them with an NT
+    ``dot_general`` whose contraction runs over the lane axis — the
+    point axis never leaves the lanes.  (The rejected alternatives: a
+    separate (B, s_pad, 1) sublane-plane operand cost XLA a 5.9 ms
+    lane->sublane relayout copy at 1024^2 x 64 x 1e5, and an in-kernel
+    (1, C) -> (C, 1) transpose measured ~7 ms across the grid.)  The x
+    side stays a pure {0, 1} one-hot, so every matmul keeps the exact
+    bf16-split contract."""
     f32 = jnp.float32
     ix0, dlx = _decode_coord(data[:, n_out - 1])
     w = data[:, n_out]

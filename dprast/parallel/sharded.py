@@ -176,9 +176,12 @@ def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
                       background, out_weight, point_weight):
     n_out = len(grid_size)
     # vma checking stays ON for every backend: the binned backend's
-    # scalar-prefetch index maps pcast their grid indices to the slot
-    # table's varying axes before slicing it (`splat_binned._st_index_map`),
-    # which was the one mixed-variance op the checker used to reject.
+    # pallas_calls run on `geometry.vma_erase`d operands, declare
+    # axis-invariant out structs (`splat_binned._out_struct`) and
+    # re-assert the true variance union on their results via
+    # `geometry.vma_assert` — a scoped retype around the one construct
+    # (variance flowing THROUGH a pallas_call) jax 0.9.0 cannot type.
+    # The psums below still see correctly varying-typed results.
     check_vma = True
 
     def vary(x, axis):
