@@ -74,8 +74,24 @@ def main():
     print(f"grid={grid} ts={ts} nt={nt} chunk={chunk} "
           f"s_pad={s_pad} n_slots={s_pad // chunk} batch={b}", flush=True)
 
-    t = per_iter(lambda c: prep(tr + c * 1e-30)[0].ravel()[0], ())
-    print(f"prep (keys+sort)      {t*1e3:8.2f} ms", flush=True)
+    # force EVERY sorted plane: a single .ravel()[0] lets XLA drop the
+    # unused payload operands from the variadic sort and under-measures
+    def _force(d):
+        return sum(d[:, i].ravel()[0] for i in range(d.shape[1]))
+
+    t = per_iter(lambda c: _force(prep(tr + c * 1e-30)[0]), ())
+    print(f"prep fwd (key+3)      {t*1e3:8.2f} ms", flush=True)
+
+    def prep_bwd(tr_):
+        key, locs, _ = _keys_and_local(grid, ts, pts, rot, tr_)
+        ptidx = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.float32)[None, :], key.shape)
+        return _prep_binned_all(key, list(locs) + [ptidx],
+                                [0.0] * n_out + [float(p)], nt,
+                                chunk, False, pack_idx=True)
+
+    t = per_iter(lambda c: _force(prep_bwd(tr + c * 1e-30)[0]), ())
+    print(f"prep bwd (key+2)      {t*1e3:8.2f} ms", flush=True)
 
     t = per_iter(lambda c, pts_: _keys_and_local(
         grid, ts, pts_, rot, tr)[1][0].ravel()[0], (pts,))
@@ -95,11 +111,12 @@ def main():
     cols_e = ts[-1] + (1 if halo else 0)
     n_slots = s_pad // chunk
 
-    lane = jax.jit(lambda d: _planes_fwd(d, ts, n_out))(
-        data[:, :n_out + 1])
+    lane = jax.jit(lambda d: _planes_fwd(d[:, :n_out], d[:, n_out], ts,
+                                         n_out))(data[:, :n_out + 1])
     lane.block_until_ready()
     t = per_iter(lambda c, d: _planes_fwd(
-        d + c * 1e-30, ts, n_out).ravel()[0], (data[:, :n_out + 1],))
+        d[:, :n_out] + c * 1e-30, d[:, n_out], ts,
+        n_out).ravel()[0], (data[:, :n_out + 1],))
     print(f"fwd planes            {t*1e3:8.2f} ms", flush=True)
 
     def fwd_kernel(lane_, st_):

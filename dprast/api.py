@@ -188,6 +188,14 @@ def raster(grid_size, points, rotation, translation, background=None,
     Returns:
       (*grid_size) array for a single pose, (B, *grid_size) for a batch.
     """
+    # STATIC fast-path flag: a defaulted or scalar point_weight is a
+    # broadcast constant (the reference's lazy `Ones` FillArray,
+    # `src/interface.jl:368-394`) — backends may then drop the per-point
+    # weight plane from their data path (the binned backend drops one
+    # payload operand from its binning sort).
+    pw_uniform = point_weight is None or (
+        not isinstance(point_weight, (list, tuple))
+        and jnp.ndim(point_weight) == 0)
     grid_size, args, batched = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
@@ -200,7 +208,7 @@ def raster(grid_size, points, rotation, translation, background=None,
             args[3].reshape((b,) + (1,) * len(grid_size)),
             (b,) + grid_size)
         return out if batched else out[0]
-    out = ad.raster_canonical(grid_size, resolved, *args)
+    out = ad.raster_canonical(grid_size, resolved, pw_uniform, *args)
     return out if batched else out[0]
 
 
@@ -219,7 +227,9 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
     ds_dout = jnp.asarray(ds_dout)
     bg_scalar = background is None or jnp.ndim(background) == 0
     ow_scalar = out_weight is None or jnp.ndim(out_weight) == 0
-    pw_scalar = point_weight is not None and jnp.ndim(point_weight) == 0
+    pw_scalar = (point_weight is not None
+                 and not isinstance(point_weight, (list, tuple))
+                 and jnp.ndim(point_weight) == 0)
     grid_size, args, batched = _normalise(
         tuple(ds_dout.shape[1:] if jnp.ndim(rotation) == 3 else ds_dout.shape),
         points, rotation, translation, background, out_weight, point_weight,

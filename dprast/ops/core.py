@@ -70,13 +70,16 @@ def _neighbour_data(points, rotation, translation, grid_size):
 
 
 def raster_fwd(grid_size, points, rotation, translation, background,
-               out_weight, point_weight):
+               out_weight, point_weight, *, pw_uniform: bool = False):
     """Forward rasterisation on canonical batched args → (B, *grid_size).
 
     Semantics per reference `src/raster.jl:5-66`: output initialised to the
     per-pose background, every point splats ``out_weight[b] * point_weight[p]``
     multilinearly onto its 2^N neighbours, OOB neighbours dropped.
+    (`pw_uniform` is accepted for dispatch uniformity; the O(splats)
+    weight multiply is fused into the scatter operand here either way.)
     """
+    del pw_uniform
     b = rotation.shape[0]
     total = int(math.prod(grid_size))
     idx_flat, wsplat, _, _ = _neighbour_data(points, rotation, translation,
@@ -93,8 +96,49 @@ def raster_fwd(grid_size, points, rotation, translation, background,
     return out_flat.reshape((b,) + tuple(grid_size))
 
 
+def raster_fwd_res(grid_size, points, rotation, translation, background,
+                   out_weight, point_weight, *, pw_uniform: bool = False):
+    """Forward + reusable neighbour-geometry residuals.
+
+    The fused `jax.grad` pair (see `dprast.ad`): residuals are the
+    recompute-shared `(idx_flat, wsplat, dl)` of `_neighbour_data` —
+    (B, P, S) int32/f32 + (B, P, N_out) f32, a few MB at every supported
+    size — so the pullback skips the compensated double-f32 transform and
+    the neighbour/validity enumeration.  (The reference recomputes these,
+    `src/raster_pullback.jl:20-22`, because its CPU loop is cache-hot;
+    under XLA the recompute is whole extra HBM passes.)"""
+    del pw_uniform
+    b = rotation.shape[0]
+    total = int(math.prod(grid_size))
+    idx_flat, wsplat, dl, _ = _neighbour_data(points, rotation, translation,
+                                              grid_size)
+    w = wsplat * out_weight[:, None, None] * point_weight[None, :, None]
+
+    def scatter_one(flat_idx, vals, bg):
+        out = jnp.full((total,), bg, dtype=vals.dtype)
+        return out.at[flat_idx.reshape(-1)].add(
+            vals.reshape(-1), mode="drop", indices_are_sorted=False,
+            unique_indices=False)
+
+    out_flat = jax.vmap(scatter_one)(idx_flat, w, background)
+    return (out_flat.reshape((b,) + tuple(grid_size)),
+            (idx_flat, wsplat, dl))
+
+
+def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
+                        pw_uniform: bool = False) -> PullbackResult:
+    """Pullback reusing `raster_fwd_res` residuals (skips
+    `_neighbour_data`'s transform + neighbour enumeration)."""
+    del pw_uniform
+    points, rotation, _, _, out_weight, point_weight = args
+    idx_flat, wsplat, dl = residuals
+    return _pullback_impl(grid_size, points, rotation, out_weight,
+                          point_weight, ds_dout, idx_flat, wsplat, dl)
+
+
 def raster_pullback(grid_size, points, rotation, translation, background,
-                    out_weight, point_weight, ds_dout) -> PullbackResult:
+                    out_weight, point_weight, ds_dout, *,
+                    pw_uniform: bool = False) -> PullbackResult:
     """Analytic pullback on canonical batched args.
 
     Pure gather: recomputes the forward neighbour geometry (the reference's
@@ -110,8 +154,16 @@ def raster_pullback(grid_size, points, rotation, translation, background,
       ds/dow      = sum_{p,s} g * W_s * pw                   (.jl:57)
       ds/dpw      = sum_{b,s} g * W_s * ow                   (.jl:58)
     """
-    idx_flat, wsplat, dl, shifts = _neighbour_data(points, rotation,
-                                                   translation, grid_size)
+    del pw_uniform
+    idx_flat, wsplat, dl, _ = _neighbour_data(points, rotation,
+                                              translation, grid_size)
+    return _pullback_impl(grid_size, points, rotation, out_weight,
+                          point_weight, ds_dout, idx_flat, wsplat, dl)
+
+
+def _pullback_impl(grid_size, points, rotation, out_weight, point_weight,
+                   ds_dout, idx_flat, wsplat, dl) -> PullbackResult:
+    shifts = jnp.asarray(geometry.voxel_shifts(len(grid_size)))
     b = rotation.shape[0]
     g_flat = ds_dout.reshape(b, -1)
 

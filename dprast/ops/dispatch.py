@@ -37,7 +37,8 @@ def register(name: str, fwd, bwd, supports, vjp_pair=None):
 
 
 register("xla", core.raster_fwd, core.raster_pullback,
-         lambda n_out, grid=None, n_points=None: True)
+         lambda n_out, grid=None, n_points=None: True,
+         vjp_pair=(core.raster_fwd_res, core.raster_pullback_res))
 register("matmul", splat_matmul.raster_fwd, splat_matmul.raster_pullback,
          lambda n_out, grid=None, n_points=None:
          splat_matmul.supported(n_out))

@@ -441,9 +441,16 @@ def _flat_rows_3d(iz0, dlz, iy0, dly, ts):
     return rows, wzy
 
 
-def _planes_fwd(data, ts, n_out):
+def _planes_fwd(coord, w, ts, n_out):
     """Lane-plane stack (B, L, s_pad) f32 for the forward kernel from
-    frame planes ``data`` (B, n_out+1, s_pad) = (enc coords..., w).
+    the frame's encoded coordinate planes ``coord`` (B, n_out, s_pad)
+    and the per-row weight plane ``w`` (B, s_pad) — or ``w=None`` on the
+    uniform-weight fast path (`pw_uniform`): the weight row is dropped
+    entirely and the scalar ``out_weight * point_weight`` factor is
+    applied once per pose AFTER the fold (the splat is linear in the
+    weight), which also drops one payload plane from the binning sort
+    (sort cost scales steeply with operand count: measured v5e at
+    4 x (16, 121k) rows, key+3 = 11.4 ms vs key+2 ~8.5).
 
     lane: the decoded row-axis hat parameters plus the point weight and
     the x interpolation delta — 2D ``[iy0, dly, w, dlx]``, 3D
@@ -469,15 +476,15 @@ def _planes_fwd(data, ts, n_out):
     side stays a pure {0, 1} one-hot, so every matmul keeps the exact
     bf16-split contract."""
     f32 = jnp.float32
-    ix0, dlx = _decode_coord(data[:, n_out - 1])
-    w = data[:, n_out]
+    ix0, dlx = _decode_coord(coord[:, n_out - 1])
+    w_rows = [] if w is None else [w]
     if n_out == 2:
-        iy0, dly = _decode_coord(data[:, 0])
-        lane = [iy0.astype(f32), dly, w, dlx]
+        iy0, dly = _decode_coord(coord[:, 0])
+        lane = [iy0.astype(f32), dly] + w_rows + [dlx]
     else:
-        iz0, dlz = _decode_coord(data[:, 0])
-        iy0, dly = _decode_coord(data[:, 1])
-        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly, w, dlx]
+        iz0, dlz = _decode_coord(coord[:, 0])
+        iy0, dly = _decode_coord(coord[:, 1])
+        lane = [iz0.astype(f32), dlz, iy0.astype(f32), dly] + w_rows + [dlx]
     lane.append(ix0.astype(f32))
     return jnp.stack(lane, axis=1)
 
@@ -524,7 +531,7 @@ def _x_selects(ix0_row, chunk, cols_e):
 
 
 def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
-                n_out, skip_dead=True):
+                n_out, with_w=True, skip_dead=True):
     # slots past n_live (the slot table's trailing entry) carry only
     # no-overlap reals / excess fillers: skip ALL compute and writes.
     # Their output index is tile nt-1 == the last live slot's tile (every
@@ -534,7 +541,8 @@ def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
     # rejects kernels whose trace captures constants).
     if not skip_dead:
         _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
-                         chunk=chunk, halo=halo, n_out=n_out)
+                         chunk=chunk, halo=halo, n_out=n_out,
+                         with_w=with_w)
         return
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -543,11 +551,12 @@ def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
     @pl.when(live)
     def _():
         _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
-                         chunk=chunk, halo=halo, n_out=n_out)
+                         chunk=chunk, halo=halo, n_out=n_out,
+                         with_w=with_w)
 
 
 def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
-                     halo, n_out):
+                     halo, n_out, with_w=True):
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
@@ -556,15 +565,17 @@ def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
 
     cols_e = ts[-1] + (1 if halo else 0)
     lane = lane_ref[0]                                    # (L, C) f32
+    iw = 1 if with_w else 0          # lane-row offset of the weight row
     if n_out == 2:
         rows_e = ts[0] + (1 if halo else 0)
         iy0 = lane[0:1, :].astype(jnp.int32)
         dly = lane[1:2, :]
-        w = lane[2:3, :]
-        dlx = lane[3:4, :]
+        dlx = lane[2 + iw:3 + iw, :]
         iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
         m = jnp.maximum(1.0 - jnp.abs((iy0 - iota_r).astype(jnp.float32)
-                                      + dly), 0.0) * w    # (rows_e, C)
+                                      + dly), 0.0)        # (rows_e, C)
+        if with_w:
+            m = m * lane[2:3, :]
     else:
         # flattened (z, y) stencil rows; ty+1 is a power of two by tile
         # design so row -> (z, y) is a shift + mask
@@ -575,8 +586,7 @@ def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
         dlz = lane[1:2, :]
         iy0 = lane[2:3, :].astype(jnp.int32)
         dly = lane[3:4, :]
-        w = lane[4:5, :]
-        dlx = lane[5:6, :]
+        dlx = lane[4 + iw:5 + iw, :]
         iota_r = lax.broadcasted_iota(jnp.int32, (rows_e, chunk), 0)
         z_r = iota_r >> (tyq.bit_length() - 1)
         y_r = iota_r & (tyq - 1)
@@ -584,7 +594,9 @@ def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
                                        + dlz), 0.0)
         hy = jnp.maximum(1.0 - jnp.abs((iy0 - y_r).astype(jnp.float32)
                                        + dly), 0.0)
-        m = hz * hy * w
+        m = hz * hy
+        if with_w:
+            m = m * lane[4:5, :]
 
     # pure {0,1} one-hot x columns (C, cols_e); all VALUES ride the row
     # side as (1, C) sublane broadcasts — nothing value-like ever
@@ -884,17 +896,24 @@ def _unfold_pl_2d(g_cot, grid_size, ts):
 
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
-               interpret: bool | None = None):
-    """Forward rasterisation -> (B, *grid_size)."""
+               interpret: bool | None = None, pw_uniform: bool = False):
+    """Forward rasterisation -> (B, *grid_size).
+
+    ``pw_uniform=True`` is the STATIC promise that every `point_weight`
+    entry equals ``point_weight[0]`` (the API sets it when the argument
+    was defaulted or scalar — the reference's lazy `Ones` FillArray,
+    `src/interface.jl:368-394`): the weight plane is dropped from the
+    binning sort and the scalar factor is applied post-fold."""
     out, _ = _fwd_impl(grid_size, points, rotation, translation, background,
                        out_weight, point_weight, chunk=chunk,
-                       interpret=interpret, with_residuals=False)
+                       interpret=interpret, with_residuals=False,
+                       pw_uniform=pw_uniform)
     return out
 
 
 def raster_fwd_res(grid_size, points, rotation, translation, background,
                    out_weight, point_weight, *, chunk: int | None = None,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, pw_uniform: bool = False):
     """Forward + reusable binning residuals ``(data, slot_tile)``.
 
     `jax.grad` goes through this pair (see `dprast.ad`): the sorted slot
@@ -906,12 +925,13 @@ def raster_fwd_res(grid_size, points, rotation, translation, background,
     backward, and caching it is the standard remat trade."""
     return _fwd_impl(grid_size, points, rotation, translation, background,
                      out_weight, point_weight, chunk=chunk,
-                     interpret=interpret, with_residuals=True)
+                     interpret=interpret, with_residuals=True,
+                     pw_uniform=pw_uniform)
 
 
 def _fwd_impl(grid_size, points, rotation, translation, background,
               out_weight, point_weight, *, chunk, interpret,
-              with_residuals):
+              with_residuals, pw_uniform=False):
     n_out = len(grid_size)
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
@@ -929,10 +949,17 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 
     key, locs, _ = _keys_and_local(grid_size, ts, points, rotation,
                                    translation)
-    w = (point_weight.astype(f32)[None, :]
-         * out_weight.astype(f32)[:, None])               # (B, P)
-    planes = list(locs) + [w]
-    fills = [0.0] * n_out + [0.0]                  # enc 0 = inert; w = 0
+    planes = list(locs)
+    fills = [0.0] * n_out                          # enc 0 = inert
+    if not pw_uniform:
+        # per-row weight plane carries the POINT weight only; the per-pose
+        # out_weight factor is applied once after the fold (the splat is
+        # linear in it) — on the uniform fast path the whole plane is
+        # dropped from the sort and the scalar point weight joins that
+        # post-fold factor instead
+        planes.append(jnp.broadcast_to(
+            point_weight.astype(f32)[None, :], key.shape))
+        fills.append(0.0)                          # filler weight = 0
     # the point-id plane always rides the sort (packed into the key when
     # the bits fit): the forward itself does not need it, but unique keys
     # let the sort drop its stability tiebreaker — cheaper than the
@@ -947,7 +974,8 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         data, slot_tile = jax.vmap(
             lambda *pls: _prep_direct(list(pls), fills, chunk)
         )(*locs, *planes[n_out:])
-    lane = _planes_fwd(data[:, :n_out + 1], ts, n_out)
+    w_plane = None if pw_uniform else data[:, n_out]
+    lane = _planes_fwd(data[:, :n_out], w_plane, ts, n_out)
 
     s_pad = data.shape[-1]
     n_slots = s_pad // chunk
@@ -973,7 +1001,8 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     vma = geometry.vma_union(slot_tile, lane)
     ext = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
-                          n_out=n_out, skip_dead=not interpret),
+                          n_out=n_out, with_w=not pw_uniform,
+                          skip_dead=not interpret),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32),
         interpret=interpret,
@@ -985,7 +1014,12 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
                                               :grid_size[1]]
     else:
         out = _fold(ext, grid_size, ts, halo)
-    out = out + background.astype(f32).reshape((bsz,) + (1,) * n_out)
+    ow_eff = out_weight.astype(f32)
+    if pw_uniform:
+        # all entries equal by the static contract; fold the scalar in
+        ow_eff = ow_eff * point_weight.astype(f32)[0]
+    out = (out * ow_eff.reshape((bsz,) + (1,) * n_out)
+           + background.astype(f32).reshape((bsz,) + (1,) * n_out))
     dtype = jnp.result_type(points, rotation, translation)
     out = out.astype(dtype)
     if not with_residuals:
@@ -1105,8 +1139,14 @@ def _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk,
 def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int | None = None,
-                    interpret: bool | None = None) -> PullbackResult:
-    """Analytic pullback -> PullbackResult (all six gradients)."""
+                    interpret: bool | None = None,
+                    pw_uniform: bool = False) -> PullbackResult:
+    """Analytic pullback -> PullbackResult (all six gradients).
+
+    ``pw_uniform`` is accepted for dispatch uniformity; the standalone
+    pullback's own binning prep never carries a weight plane (weights
+    re-enter after the unsort), so the flag changes nothing here."""
+    del pw_uniform
     n_out = len(grid_size)
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
@@ -1145,10 +1185,15 @@ def raster_pullback(grid_size, points, rotation, translation, background,
 
 def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
                         chunk: int | None = None,
-                        interpret: bool | None = None) -> PullbackResult:
+                        interpret: bool | None = None,
+                        pw_uniform: bool = False) -> PullbackResult:
     """Pullback reusing the forward's binning residuals (see
     `raster_fwd_res`): the frame's coord planes and point ids are already
-    sorted, so the keys + big-sort prep is skipped entirely."""
+    sorted, so the keys + big-sort prep is skipped entirely.
+
+    ``pw_uniform`` must match the forward's flag — it determines the
+    residual frame's plane layout (the uniform fast path carries no
+    weight plane, so the point-id plane sits right after the coords)."""
     n_out = len(grid_size)
     if chunk is None:
         # must match the forward's choice (the residual frame's slot
@@ -1156,8 +1201,9 @@ def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
         chunk = _default_chunk(grid_size, args[0].shape[0])
     data, slot_tile = residuals
     points, rotation, _, _, out_weight, point_weight = args
+    idx_plane = n_out if pw_uniform else n_out + 1
     return _pullback_from_frame(
-        grid_size, data[:, :n_out], data[:, n_out + 1], slot_tile, points,
+        grid_size, data[:, :n_out], data[:, idx_plane], slot_tile, points,
         rotation, out_weight, point_weight, ds_dout, chunk=chunk,
         interpret=interpret)
 

@@ -148,11 +148,14 @@ def _compute_dtype(*dtypes):
 
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
-               terms: int = FWD_TERMS):
+               terms: int = FWD_TERMS, pw_uniform: bool = False):
     """Forward rasterisation via exact-one-hot branch contractions.
 
     Canonical batched args (see `dprast.ops.core`) → (B, *grid_size).
+    (`pw_uniform` is accepted for dispatch uniformity; the per-point
+    weight multiply is one fused VPU pass here either way.)
     """
+    del pw_uniform
     n_out = len(grid_size)
     assert supported(n_out), \
         f"matmul path supports N_out in (1,2,3), got {n_out}"
@@ -199,9 +202,11 @@ def raster_fwd(grid_size, points, rotation, translation, background,
 def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int | None = None,
-                    terms: int = BWD_TERMS) -> PullbackResult:
+                    terms: int = BWD_TERMS,
+                    pw_uniform: bool = False) -> PullbackResult:
     """Analytic pullback via one exact selection-matmul family per chunk
     (gather-free AND scatter-free).  Returns `PullbackResult`."""
+    del pw_uniform
     n_out = len(grid_size)
     assert supported(n_out)
     b = rotation.shape[0]

@@ -196,8 +196,11 @@ def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
         tr = vary(tr, POINTS_AXIS)
         ow = vary(ow, POINTS_AXIS)
         zero_bg = jnp.zeros_like(vary(bg, POINTS_AXIS))
-        partial = ad.raster_canonical(grid_size, backend, pts, rot, tr,
-                                      zero_bg, ow, pw)
+        # pw_uniform stays False here even for defaulted weights: the
+        # points-axis padding relies on weight-0 rows to drop the padded
+        # points (shard_raster_args), so the weight plane is load-bearing
+        partial = ad.raster_canonical(grid_size, backend, False, pts, rot,
+                                      tr, zero_bg, ow, pw)
         # Replaces the reference's atomic adds on the shared output image
         # (src/raster.jl:64): partial per-shard images, one ICI reduction.
         total = lax.psum(partial, POINTS_AXIS)

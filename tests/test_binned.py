@@ -249,3 +249,69 @@ def test_fold_unfold_exact_adjoints(grid):
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(ut, -1, -2)),
         np.asarray(splat_binned._unfold(u, grid, ts)))
+
+
+def test_uniform_weight_fast_path_matches_array():
+    """The pw_uniform fast path (defaulted / scalar point_weight: weight
+    plane dropped from the binning sort, scalar applied post-fold) must
+    match the explicit per-point array path, forward and through
+    `jax.grad` (which rides the uniform residual layout — the point-id
+    plane shifts one slot down without the weight plane)."""
+    rng = np.random.default_rng(13)
+    pts = jnp.asarray(rng.standard_normal((400, 3)) * 0.5, jnp.float32)
+    rot = jnp.asarray(np.stack([np.eye(3)[:2]] * 3), jnp.float32)
+    tr = jnp.asarray(rng.standard_normal((3, 2)) * 0.1, jnp.float32)
+    ow = jnp.asarray(rng.uniform(0.5, 2.0, (3,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    grid = (256, 256)
+
+    o_def = dprast.raster(grid, pts, rot, tr, None, ow, backend="binned")
+    o_arr = dprast.raster(grid, pts, rot, tr, None, ow,
+                          point_weight=jnp.ones((400,)), backend="binned")
+    np.testing.assert_allclose(np.asarray(o_def), np.asarray(o_arr),
+                               atol=1e-6)
+    o_scl = dprast.raster(grid, pts, rot, tr, None, ow,
+                          point_weight=1.75, backend="binned")
+    o_sarr = dprast.raster(grid, pts, rot, tr, None, ow,
+                           point_weight=jnp.full((400,), 1.75),
+                           backend="binned")
+    # scalar-vs-array differ only in f32 rounding ORDER (the fast path
+    # multiplies the scalar after the fold); same tolerance as the f64
+    # oracle checks
+    sc = max(float(np.max(np.abs(np.asarray(o_sarr)))), 1.0)
+    np.testing.assert_allclose(np.asarray(o_scl) / sc,
+                               np.asarray(o_sarr) / sc, atol=8e-6)
+
+    def loss(pts_, tr_, pw):
+        out = dprast.raster(grid, pts_, rot, tr_, None, ow,
+                            point_weight=pw, backend="binned")
+        return jnp.sum(out * g)
+
+    gu = jax.grad(loss, argnums=(0, 1))(pts, tr, None)
+    ga = jax.grad(loss, argnums=(0, 1))(pts, tr, jnp.ones((400,)))
+    for a, b in zip(gu, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_xla_fused_vjp_matches_standalone_pullback():
+    """The xla oracle's fused residual pair (cached neighbour geometry)
+    must agree with its standalone recompute pullback."""
+    rng = np.random.default_rng(17)
+    pts = jnp.asarray(rng.standard_normal((300, 3)) * 0.6, jnp.float32)
+    rot = jnp.asarray(np.stack([np.eye(3)[:2]] * 3), jnp.float32)
+    tr = jnp.asarray(rng.standard_normal((3, 2)) * 0.1, jnp.float32)
+    pw = jnp.asarray(rng.uniform(0.5, 2.0, (300,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((3, 64, 64)), jnp.float32)
+    out, vjp = jax.vjp(
+        lambda p, t, w: dprast.raster((64, 64), p, rot, t,
+                                      point_weight=w, backend="xla"),
+        pts, tr, pw)
+    gp, gt, gw = vjp(g)
+    res = dprast.raster_pullback(g, pts, rot, tr, point_weight=pw,
+                                 backend="xla")
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(res.points),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(res.translation),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(res.point_weight),
+                               atol=1e-6)
