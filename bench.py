@@ -37,7 +37,13 @@ def main():
                               jnp.float32)
     background = jnp.zeros((batch,), jnp.float32)
     out_weight = jnp.ones((batch,), jnp.float32)
-    point_weight = jnp.asarray(rng.uniform(0.5, 2.0, n_points), jnp.float32)
+    # default (unit) point weights, like the reference's timing table: its
+    # README rows benchmark `raster(points, rotation, translation)` whose
+    # weights are lazy FillArray Ones (`src/interface.jl:87-92`) — the
+    # A100 baseline below never paid for a per-point weight, so neither
+    # should the comparison row (backends take the uniform fast path
+    # exactly as the default call does)
+    point_weight = jnp.ones((n_points,), jnp.float32)
     args = (points, rotation, translation, background, out_weight,
             point_weight)
 
@@ -54,7 +60,7 @@ def main():
     def fwd_step(c, *a):
         pts, rot, tr, bg, ow, pw = a
         out = dispatch.fwd_fn(backend_f)(grid, pts, rot, tr + c * 1e-30, bg,
-                                         ow, pw)
+                                         ow, pw, pw_uniform=True)
         return out.ravel()[0]
 
     def bwd_step(c, *a):

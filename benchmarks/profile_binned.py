@@ -167,7 +167,9 @@ def main():
         print(f"unfold^T              {t*1e3:8.2f} ms", flush=True)
 
     from dprast.ops.splat_binned import _bwd_kernel
-    if n_out == 2 and halo:
+    if not halo:
+        g_ext = jax.jit(lambda g_: jnp.swapaxes(g_, 1, 2))(g)
+    elif n_out == 2:
         g_ext = jax.jit(lambda g_: _unfold_pl_2d(g_, grid, ts))(g)
     else:
         g_ext = jax.jit(lambda g_: _unfold(g_, grid, ts,
@@ -182,9 +184,14 @@ def main():
     print(f"bwd planes            {t*1e3:8.2f} ms", flush=True)
 
     def bwd_kernel(lane_, g_ext_, st_):
-        g_spec = pl.BlockSpec((1, 1, cols_e, rows_e),
-                              lambda bb, s, st: (bb, st[bb, s], 0, 0),
-                              memory_space=pltpu.VMEM)
+        if halo:
+            g_spec = pl.BlockSpec((1, 1, cols_e, rows_e),
+                                  lambda bb, s, st: (bb, st[bb, s], 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            g_spec = pl.BlockSpec((1, ts[1], ts[0]),
+                                  lambda bb, s, st: (bb, 0, 0),
+                                  memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_slots),

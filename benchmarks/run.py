@@ -23,13 +23,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from benchmarks.timing import per_iter as _per_iter
 
-# (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms)
+# (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms[, weighted])
+#
+# Headline rows time the DEFAULT-weight call — the reference's timing
+# table benchmarks `raster(points, rotation, translation)` whose weights
+# are lazy FillArray Ones (`src/interface.jl:87-92`), so its A100 numbers
+# never paid for a per-point weight either; backends take the uniform
+# fast path exactly as a user's default call would.  The `_pw` variants
+# re-time the big 2D rows with a random per-point weight (one extra sort
+# payload plane on the binned backend) for coverage.
 CONFIGS = [
     ("64sq_2d_1e4", 10_000, 64, (64, 64), 2, None, None),  # BASELINE cfg 2
     ("128sq_1e4", 10_000, 64, (128, 128), 3, 15.0, 1.0),
     ("1024sq_1e4", 10_000, 64, (1024, 1024), 3, 16.0, 2.0),
     ("128sq_1e5", 100_000, 64, (128, 128), 3, 153.0, 9.0),
     ("1024sq_1e5", 100_000, 64, (1024, 1024), 3, 154.0, 10.0),
+    ("128sq_1e5_pw", 100_000, 64, (128, 128), 3, 153.0, 9.0, True),
+    ("1024sq_1e5_pw", 100_000, 64, (1024, 1024), 3, 154.0, 10.0, True),
     ("128cube_1e5", 100_000, 1, (128, 128, 128), 3, None, None),
     # BASELINE cfg 4 at its stated size: 1M points, full gradients
     ("128cube_1e6", 1_000_000, 1, (128, 128, 128), 3, None, None),
@@ -60,7 +70,7 @@ def _args_for(n_points, batch, grid, n_in):
 
 
 def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
-               with_grad=False):
+               weighted=False, with_grad=False):
     import jax
     import jax.numpy as jnp
 
@@ -87,8 +97,11 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
     g.block_until_ready()
 
     pts, rot, tr, bg, ow, pw = args
+    if not weighted:
+        pw = jnp.ones((n_points,), jnp.float32)
     fwd = lambda c: dispatch.fwd_fn(backend_f)(
-        grid, pts, rot, tr + c * 1e-30, bg, ow, pw).ravel()[0]
+        grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
+        pw_uniform=not weighted).ravel()[0]
     bwd = lambda c, gg: dispatch.bwd_fn(backend_b)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
         gg).translation.ravel()[0]
@@ -122,7 +135,8 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
         # — both under-measure what a real training step pays.
         def gstep(c, gg):
             def loss_fn(tr_):
-                out = dprast.raster(grid, pts, rot, tr_, bg, ow, pw)
+                out = dprast.raster(grid, pts, rot, tr_, bg, ow,
+                                    pw if weighted else None)
                 return jnp.sum(out * (gg + c * 1e-30))
             val, grads = jax.value_and_grad(loss_fn)(tr + c * 1e-30)
             return val * 1e-30 + grads.ravel()[0]

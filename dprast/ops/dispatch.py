@@ -121,15 +121,17 @@ def resolve_pair(backend: str, n_out: int, grid_size=None,
                  n_points=None) -> tuple[str, str]:
     """Per-direction (forward, backward) strategy resolution.
 
-    The two directions have different optimal strategies in some regimes
+    The two directions may have different optimal strategies
     (the reference itself mixes: KernelAbstractions forward, hand-written
     CUDA backward — `src/raster.jl:36` vs `ext/...CUDAExt.jl:19`).
-    Measured v5e at the flagship 128^2 x 64 x 1e5 config (r3 kernels):
-    matmul forward 7.0 ms vs binned 7.4, but binned backward 8.9 ms vs
-    matmul 10.3 — 'auto' therefore pairs the matmul forward with the
-    binned backward on single-tile 2D grids (where the binned frame
-    needs no sort and no unsort).  Explicit backend names always apply
-    to both directions.
+    Measured v5e at the flagship 128^2 x 64 x 1e5 config (r4 kernels):
+    binned forward 6.7-7.4 ms (uniform/weighted) vs matmul 7.2-8.7, and
+    binned backward 8.4 ms vs matmul 10.3 — 'auto' therefore runs BOTH
+    directions on the binned backend for single-tile 2D grids (where the
+    binned frame needs no sort and no unsort; in r3 the matmul forward
+    still edged it out, before the hat kernel dropped the weight
+    multiply and the fold-time out_weight).  Explicit backend names
+    always apply to both directions.
     """
     name = resolve(backend, n_out, grid_size, n_points)
     if (backend == "auto" and name == "matmul" and grid_size is not None
@@ -137,7 +139,7 @@ def resolve_pair(backend: str, n_out: int, grid_size=None,
             and splat_binned._single_tile(grid_size)
             and min(grid_size) > 64
             and splat_binned.profitable(n_out, grid_size, n_points)):
-        return name, "binned"
+        return "binned", "binned"
     return name, name
 
 

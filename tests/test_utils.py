@@ -20,8 +20,9 @@ def test_public_api_surface():
 
 def test_resolve_pair():
     """Explicit names apply to both directions; 'auto' yields a pair of
-    registered names (they may differ on TPU — e.g. matmul forward +
-    binned backward at single-tile 2D grids; on CPU they coincide)."""
+    registered names (the pair rule may upgrade both directions — e.g.
+    binned+binned at single-tile 2D grids on TPU; on CPU they
+    coincide with resolve())."""
     f, b = dispatch.resolve_pair("matmul", 2, (128, 128), 1000)
     assert (f, b) == ("matmul", "matmul")
     f, b = dispatch.resolve_pair("auto", 2, (128, 128), 100_000)
