@@ -156,3 +156,40 @@ def test_grad_1024sq_end_to_end():
     g_p, g_t = jax.jit(jax.grad(loss, argnums=(0, 1)))(jargs[0], jargs[2])
     assert np.all(np.isfinite(np.asarray(g_p)))
     assert np.all(np.isfinite(np.asarray(g_t)))
+
+
+def test_uniform_weight_fast_path_hardware():
+    """The pw_uniform fast path (defaulted point_weight: weight plane
+    dropped from the binning sort, with_w=False kernel, post-fold scalar)
+    COMPILED on hardware must match both the f64 oracle and the explicit
+    ones-array path, forward and through jax.grad (which rides the
+    uniform residual layout)."""
+    grid = (256, 256)
+    args = _pose_args(seed=13, n_points=1500, batch=3)
+    pts, rot, tr, bg, ow, _ = args
+    pw1 = np.ones((1500,), np.float32)
+    np64 = [a.astype(np.float64) for a in (pts, rot, tr, bg, ow, pw1)]
+    ref_f = raster_numpy(grid, *np64)
+
+    out_u = np.asarray(jax.jit(
+        lambda *a: dprast.raster(grid, *a, backend="binned"))(
+            pts, rot, tr, bg, ow), np.float64)
+    scale = max(float(np.max(np.abs(ref_f))), 1.0)
+    np.testing.assert_allclose(out_u / scale, ref_f / scale, atol=TOL)
+
+    g = jnp.asarray(
+        np.random.default_rng(7).standard_normal(ref_f.shape), jnp.float32)
+
+    def loss_u(pts_, tr_):
+        return jnp.sum(dprast.raster(grid, pts_, rot, tr_, bg, ow,
+                                     backend="binned") * g)
+
+    def loss_a(pts_, tr_):
+        return jnp.sum(dprast.raster(grid, pts_, rot, tr_, bg, ow,
+                                     point_weight=jnp.asarray(pw1),
+                                     backend="binned") * g)
+
+    gu = jax.jit(jax.grad(loss_u, argnums=(0, 1)))(pts, tr)
+    ga = jax.jit(jax.grad(loss_a, argnums=(0, 1)))(pts, tr)
+    for a, b in zip(gu, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
