@@ -805,92 +805,91 @@ def _unfold(x, grid_size, ts, transposed=False):
 
 
 def _unfold_pl_2d(g_cot, grid_size, ts):
-    """TPU Pallas replacement for ``_unfold(..., transposed=True)`` in 2D:
-    one strided DMA per (pose, tile) instead of XLA's strided-slice /
-    concat cascade (measured v5e, 1024^2 x 64: 6.2 ms -> ~1.3 ms — the
-    XLA form materialises ~4 intermediate copies of the 340 MB window
-    array; the kernel moves each byte once).
+    """TPU Pallas replacement for ``_unfold(..., transposed=True)`` in
+    2D: band-fetch DMA + static window carving (measured v5e,
+    1024^2 x 64: XLA strided-slice/concat form 6.2 ms -> per-tile DMA
+    kernel 2.9 -> this band form 1.8; the XLA form materialises ~4
+    intermediate copies of the 340 MB window array).
 
-    HBM slices must start on the (8, 128) tile quanta, but windows sit at
-    multiples of the 127-voxel body tile.  So each instance fetches an
-    ALIGNED (136, 256) superset window, shifts it into place with two
-    dynamic lane/sublane rolls (`pltpu.roll`, the only dynamic-offset
-    vector op Mosaic provides), masks the out-of-grid tail to zero (the
-    reference's OOB-drop semantics — zero cotangent for out-of-grid
-    neighbours), and writes the transposed (cols_e, rows_e) window the
-    backward kernel consumes.  Edge tiles clamp the aligned fetch start
-    into bounds; the roll+mask algebra stays valid for any clamp
-    distance < 136 (`Hp - fetch_h >= gy - 136` by construction).
-    Four-deep buffered: each instance issues the DMA three tiles ahead
-    before waiting on its own (measured v5e: depth 2 -> 3.84 ms, depth 4
-    -> 2.88 ms — per-fetch issue latency needs ~3 instances of lead)."""
+    HBM slices must start on the (8, 128) tile quanta, but windows sit
+    at multiples of the 127-voxel body tile.  One DMA per
+    (pose, tile-ROW) fetches a full-width (136, wp) band (vs one
+    (136, 256) aligned fetch per tile, whose neighbour overlap read
+    2.1x the bytes and issued 9x the DMAs at 1024^2).  The band's
+    sublane shift is the only dynamic roll (`pltpu.roll`); every
+    window's x-origin is compile-time, so the n1 windows are carved
+    with STATIC lane slices + static rolls, masked to zero outside the
+    grid (the reference's OOB-drop semantics), transposed, and written
+    as the (cols_e, rows_e) blocks the backward kernel consumes.
+    Four-deep buffered: each instance issues its DMA three bands ahead.
+    """
     t0, t1 = ts
     gy, gx = grid_size
     bsz = g_cot.shape[0]
     n0, n1 = -(-gy // t0), -(-gx // t1)
-    nt = n0 * n1
-    fh, fw = 136, 256                       # aligned fetch window
+    fh = 136
     hp = max(-(-gy // 8) * 8, fh)
-    wp = max(-(-gx // 128) * 128, fw)
+    wp = max(-(-gx // 128) * 128, 256)
     if (hp, wp) != (gy, gx):                # no-op for 1024^2-like grids
         g_cot = jnp.pad(g_cot, ((0, 0), (0, hp - gy), (0, wp - gx)))
 
     depth = 4
+    total = bsz * n0
 
     def kern(g_hbm, out_ref, scr, sem):
         bb = pl.program_id(0)
-        t = pl.program_id(1)
-        ty = t // n1
-        tx = lax.rem(t, n1)
-        y0 = ty * t0
-        x0 = tx * t1
-        ya = jnp.minimum(8 * (y0 // 8), hp - fh)
-        xa = jnp.minimum(128 * (x0 // 128), wp - fw)
-        slot = lax.rem(t, depth)
+        ty = pl.program_id(1)
+        flat = bb * n0 + ty
+        slot = lax.rem(flat, depth)
 
-        def dma(tt, sl):
-            tyn = tt // n1
-            txn = lax.rem(tt, n1)
+        def dma(fl, sl):
+            bn = fl // n0
+            tyn = lax.rem(fl, n0)
             yn = jnp.minimum(8 * ((tyn * t0) // 8), hp - fh)
-            xn = jnp.minimum(128 * ((txn * t1) // 128), wp - fw)
-            # both operands of each min are aligned by construction;
-            # Mosaic cannot see through the min without the hint
             return pltpu.make_async_copy(
-                g_hbm.at[bb, pl.ds(pl.multiple_of(yn, 8), fh),
-                         pl.ds(pl.multiple_of(xn, 128), fw)],
+                g_hbm.at[bn, pl.ds(pl.multiple_of(yn, 8), fh)],
                 scr.at[sl], sem.at[sl])
 
-        @pl.when(t == 0)
+        @pl.when(flat == 0)
         def _():
-            for k in range(min(depth - 1, nt)):
-                dma(t + k, lax.rem(slot + k, depth)).start()
+            for k in range(min(depth - 1, total)):
+                dma(flat + k, lax.rem(slot + k, depth)).start()
 
-        @pl.when(t + depth - 1 < nt)
+        @pl.when(flat + depth - 1 < total)
         def _():
-            dma(t + depth - 1, lax.rem(slot + depth - 1, depth)).start()
+            dma(flat + depth - 1, lax.rem(slot + depth - 1, depth)).start()
 
-        dma(t, slot).wait()
+        dma(flat, slot).wait()
+        y0 = ty * t0
+        ya = jnp.minimum(8 * (y0 // 8), hp - fh)
         dy = y0 - ya
-        dx = x0 - xa
-        w = pltpu.roll(scr[slot], lax.rem(fh - dy, fh), axis=0)
-        w = pltpu.roll(w, lax.rem(fw - dx, fw), axis=1)
-        w = w[:t0 + 1, :t1 + 1]
+        band = pltpu.roll(scr[slot], lax.rem(fh - dy, fh), axis=0)
         ri = lax.broadcasted_iota(jnp.int32, (t0 + 1, t1 + 1), 0)
         ci = lax.broadcasted_iota(jnp.int32, (t0 + 1, t1 + 1), 1)
-        w = jnp.where((ri < gy - y0) & (ci < gx - x0), w, 0.0)
-        out_ref[0, 0] = w.T
+        rmask = ri < gy - y0
+        for tx in range(n1):
+            x0 = tx * t1
+            xa = min(128 * (x0 // 128), wp - 256)   # static
+            dx = x0 - xa                            # static, < 256
+            seg = band[:, xa:xa + 256]
+            if dx:
+                seg = pltpu.roll(seg, 256 - dx, axis=1)
+            w = seg[:t0 + 1, :t1 + 1]
+            w = jnp.where(rmask & (ci < gx - x0), w, 0.0)
+            out_ref[0, 0, tx] = w.T
 
     out = pl.pallas_call(
         kern,
-        grid=(bsz, nt),
+        grid=(bsz, n0),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 1, t1 + 1, t0 + 1),
-                               lambda bb, t: (bb, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, n1, t1 + 1, t0 + 1),
+                               lambda bb, ty: (bb, ty, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((bsz, nt, t1 + 1, t0 + 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((depth, fh, fw), jnp.float32),
+        out_shape=_out_struct((bsz, n0, n1, t1 + 1, t0 + 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((depth, fh, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA((depth,))],
     )(geometry.vma_erase(g_cot))
+    out = out.reshape(bsz, n0 * n1, t1 + 1, t0 + 1)
     return geometry.vma_assert(out, geometry.vma_union(g_cot))
 
 
