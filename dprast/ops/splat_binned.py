@@ -675,13 +675,16 @@ def _fold(ext, grid_size, ts, halo):
     return x
 
 
-def _fold_pl_2d(ext, grid_size, ts):
+def _fold_pl_2d(ext, grid_size, ts, ow=None, bg=None):
     """TPU Pallas replacement for :func:`_fold` in 2D (same output,
     pre-slice): ext (B, nt, 128, 128) -> (B, nI*128, wp) where
-    ``nI = ceil(gy/128)``, ``wp = align128(gx)``; the caller slices to the
-    grid and adds the background (XLA fuses slice + add + cast into one
-    pass).  Measured v5e, 1024^2 x 64: 5.3 ms (XLA strided pad-adds,
-    which materialise several full-size intermediates) -> ~2 ms.
+    ``nI = ceil(gy/128)``, ``wp = align128(gx)``; the caller slices to
+    the grid.  With per-pose ``ow``/``bg`` (f32 (B,)) the epilogue
+    ``x * ow[b] + bg[b]`` fuses into the band write — a separate XLA
+    elementwise pass would re-read and re-write the full grid
+    (~0.65 ms at 1024^2 x 64).  Measured v5e, 1024^2 x 64: 5.3 ms (XLA
+    strided pad-adds, which materialise several full-size
+    intermediates) -> ~2 ms.
 
     One instance per aligned 128-row output band: it reads the two
     window rows overlapping the band (two in-specs over the SAME ext
@@ -699,8 +702,12 @@ def _fold_pl_2d(ext, grid_size, ts):
     n_i = -(-gy // 128)
     wp = -(-gx // 128) * 128
     exr = ext.reshape(bsz, n0, n1, t0 + 1, t1 + 1)
+    with_epilogue = ow is not None
+    if not with_epilogue:
+        ow = jnp.ones((bsz,), jnp.float32)
+        bg = jnp.zeros((bsz,), jnp.float32)
 
-    def kern(a_ref, b_ref, o_ref, scr):
+    def kern(a_ref, b_ref, ow_ref, bg_ref, o_ref, scr):
         b = pl.program_id(0)
         i = pl.program_id(1)
         ty_a = (128 * i) // t0
@@ -738,7 +745,10 @@ def _fold_pl_2d(ext, grid_size, ts):
         out_a = pltpu.roll(sa, lax.rem(256 - off, 256), axis=0)[:128]
         out_b = pltpu.roll(sb, t0 - off, axis=0)[:128]
         out_b = jnp.where(ty_b > ty_a, out_b, 0.0)
-        o_ref[0] = out_a + out_b
+        if with_epilogue:
+            o_ref[0] = (out_a + out_b) * ow_ref[b] + bg_ref[b]
+        else:
+            o_ref[0] = out_a + out_b
 
     out = pl.pallas_call(
         kern,
@@ -751,13 +761,19 @@ def _fold_pl_2d(ext, grid_size, ts):
                          lambda b, i: (b, jnp.minimum((128 * i) // t0 + 1,
                                                       n0 - 1), 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz,), lambda b, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bsz,), lambda b, i: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 128, wp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=_out_struct((bsz, n_i * 128, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((512, wp), jnp.float32)],
-    )(geometry.vma_erase(exr), geometry.vma_erase(exr))
-    return geometry.vma_assert(out, geometry.vma_union(ext))
+    )(geometry.vma_erase(exr), geometry.vma_erase(exr),
+      geometry.vma_erase(ow.astype(jnp.float32)),
+      geometry.vma_erase(bg.astype(jnp.float32)))
+    return geometry.vma_assert(out, geometry.vma_union(ext, ow, bg))
 
 
 def _fold_pl_ok(grid_size, ts) -> bool:
@@ -1008,17 +1024,19 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     )(geometry.vma_erase(slot_tile), geometry.vma_erase(lane))
     ext = geometry.vma_assert(ext, vma)
 
-    if halo and not interpret and _fold_pl_ok(grid_size, ts):
-        out = _fold_pl_2d(ext, grid_size, ts)[:, :grid_size[0],
-                                              :grid_size[1]]
-    else:
-        out = _fold(ext, grid_size, ts, halo)
     ow_eff = out_weight.astype(f32)
     if pw_uniform:
         # all entries equal by the static contract; fold the scalar in
         ow_eff = ow_eff * point_weight.astype(f32)[0]
-    out = (out * ow_eff.reshape((bsz,) + (1,) * n_out)
-           + background.astype(f32).reshape((bsz,) + (1,) * n_out))
+    bg_f = background.astype(f32)
+    if halo and not interpret and _fold_pl_ok(grid_size, ts):
+        # the x*ow + bg epilogue rides the fold kernel's band writes
+        out = _fold_pl_2d(ext, grid_size, ts, ow_eff,
+                          bg_f)[:, :grid_size[0], :grid_size[1]]
+    else:
+        out = _fold(ext, grid_size, ts, halo)
+        out = (out * ow_eff.reshape((bsz,) + (1,) * n_out)
+               + bg_f.reshape((bsz,) + (1,) * n_out))
     dtype = jnp.result_type(points, rotation, translation)
     out = out.astype(dtype)
     if not with_residuals:
