@@ -49,10 +49,14 @@ def main():
     tile_key = jax.random.randint(ks[7], (b, p), 0, nt, jnp.int32)
 
     # -- sort cost vs operand count ------------------------------------
+    # is_stable=False matches the production sorts (unique packed keys /
+    # unstable unsort).  r4 measured, 4 x (16, 121k) chunked: key-only
+    # 2.9 ms, key+1 4.3, key+3 11.4 — payload count, not row count, is
+    # the lever (hence the pw_uniform payload drop in splat_binned).
     for k in range(0, 5):
         def f(c, kf, *pls):
             ops = lax.sort((kf + c * 1e-30,) + pls, dimension=1,
-                           num_keys=1)
+                           num_keys=1, is_stable=False)
             return sum(o.ravel()[0] for o in ops)
         t = per_iter(f, key_f, *planes[:k])
         print(f"sort key+{k} payloads      {t*1e3:8.2f} ms", flush=True)

@@ -82,3 +82,11 @@ def test_optax_training_loop():
         pts, state, loss = step(pts, state)
         losses.append(float(loss))
     assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
+
+
+def test_sharded_fit_demo_decreases_loss():
+    """The multi-device fitting demo must reduce its loss on the virtual
+    CPU mesh (grads through shard_map; uneven views vs mesh axes)."""
+    m = _load("sharded_fit")
+    _, hist = m.fit(steps=25, log_every=1000)
+    assert hist[-1][1] < hist[0][1], hist
