@@ -23,7 +23,7 @@ from jax import lax
 
 from dprast.ops import splat_binned
 from dprast.ops.splat_binned import (_default_chunk, _fold, _fold_pl_2d,
-                                     _fold_pl_ok, _unfold, _unfold_pl_2d,
+                                     _band_pl_ok, _unfold, _unfold_pl_2d,
                                      _keys_and_local, _prep_binned,
                                      _prep_binned_all, n_tiles,
                                      tile_shape_for)
@@ -62,7 +62,9 @@ def main():
 
     def prep(tr_):
         key, locs, _ = _keys_and_local(grid, ts, pts, rot, tr_)
-        w = pw[None, :] * ow[:, None]
+        # weight plane = the POINT weight only (out_weight applies at the
+        # fold epilogue in production); pw_uniform calls drop it entirely
+        w = jnp.broadcast_to(pw[None, :], key.shape)
         ptidx = jnp.broadcast_to(
             jnp.arange(p, dtype=jnp.float32)[None, :], key.shape)
         return _prep_binned_all(key, list(locs) + [w, ptidx], fills, nt,
@@ -146,7 +148,7 @@ def main():
 
     ext = jax.jit(fwd_kernel)(lane, slot_tile)
     ext.block_until_ready()
-    if halo and _fold_pl_ok(grid, ts):
+    if halo and _band_pl_ok(grid, ts):
         t = per_iter(lambda c, e: _fold_pl_2d(
             e + c * 1e-30, grid, ts).ravel()[0], (ext,))
         print(f"fold (pallas)         {t*1e3:8.2f} ms", flush=True)

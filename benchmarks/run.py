@@ -38,8 +38,10 @@ CONFIGS = [
     ("1024sq_1e4", 10_000, 64, (1024, 1024), 3, 16.0, 2.0),
     ("128sq_1e5", 100_000, 64, (128, 128), 3, 153.0, 9.0),
     ("1024sq_1e5", 100_000, 64, (1024, 1024), 3, 154.0, 10.0),
-    ("128sq_1e5_pw", 100_000, 64, (128, 128), 3, 153.0, 9.0, True),
-    ("1024sq_1e5_pw", 100_000, 64, (1024, 1024), 3, 154.0, 10.0, True),
+    # no vs_a100 on the weighted rows: the A100 reference timed the
+    # default-weight call, so the ratio would be apples-to-oranges
+    ("128sq_1e5_pw", 100_000, 64, (128, 128), 3, None, None, True),
+    ("1024sq_1e5_pw", 100_000, 64, (1024, 1024), 3, None, None, True),
     ("128cube_1e5", 100_000, 1, (128, 128, 128), 3, None, None),
     # BASELINE cfg 4 at its stated size: 1M points, full gradients
     ("128cube_1e6", 1_000_000, 1, (128, 128, 128), 3, None, None),

@@ -80,20 +80,10 @@ def raster_fwd(grid_size, points, rotation, translation, background,
     weight multiply is fused into the scatter operand here either way.)
     """
     del pw_uniform
-    b = rotation.shape[0]
-    total = int(math.prod(grid_size))
-    idx_flat, wsplat, _, _ = _neighbour_data(points, rotation, translation,
-                                             grid_size)
-    w = wsplat * out_weight[:, None, None] * point_weight[None, :, None]
-
-    def scatter_one(flat_idx, vals, bg):
-        out = jnp.full((total,), bg, dtype=vals.dtype)
-        return out.at[flat_idx.reshape(-1)].add(
-            vals.reshape(-1), mode="drop", indices_are_sorted=False,
-            unique_indices=False)
-
-    out_flat = jax.vmap(scatter_one)(idx_flat, w, background)
-    return out_flat.reshape((b,) + tuple(grid_size))
+    out, _ = raster_fwd_res(grid_size, points, rotation, translation,
+                            background, out_weight, point_weight)
+    # (the unused residuals are dead code XLA eliminates)
+    return out
 
 
 def raster_fwd_res(grid_size, points, rotation, translation, background,

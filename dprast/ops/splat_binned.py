@@ -30,11 +30,16 @@ there are no atomics, so conflicts are eliminated structurally:
   only by the tile count / padding-ratio dispatch rules).
 - **Forward**: one instance per (pose, slot) accumulates into its tile's
   extended 128x128 VMEM window; consecutive slots of the same tile
-  revisit the same output block.  ``_fold`` then sums the overlapping
-  windows into the dense grid with one strided ``lax.pad`` add per axis
-  (separable, zero gathers) — the scatter-free replacement for atomics.
-- **Backward**: pure gather.  ``_unfold`` extracts the per-tile extended
-  cotangent windows (the exact adjoint of ``_fold``, strided slices);
+  revisit the same output block.  The fold then sums the overlapping
+  windows into the dense grid — on TPU 2D grids a Pallas band kernel
+  (`_fold_pl_2d`, with the per-pose ``out*ow + bg`` epilogue fused into
+  its writes), elsewhere one strided ``lax.pad`` add per axis
+  (`_fold`, separable, zero gathers) — the scatter-free replacement for
+  atomics.
+- **Backward**: pure gather.  The unfold extracts the per-tile extended
+  cotangent windows (the exact adjoint of the fold: on TPU 2D grids the
+  band-fetch DMA kernel `_unfold_pl_2d`, elsewhere `_unfold`'s strided
+  slices);
   each instance reads ONE (128, 128) window, selects per-point stencil
   values with an exact one-hot matmul, and writes raw per-row gradients
   ``(du_axis..., gw)``.  Out-of-grid neighbours read the zero padding —
@@ -46,10 +51,10 @@ there are no atomics, so conflicts are eliminated structurally:
 - **Precision**: coordinates come from the compensated double-f32
   pipeline (`geometry.grid_coords_2f`) and are stored tile-local as
   31-bit fixed point (uniform 2^-23 resolution at any grid size);
-  matmuls use an exact one-hot operand against a 3-term bf16 split of
-  the value operand (error ~2^-24 per product).  Measured end-to-end
-  error vs the f64 oracle: <= ~1e-6 — an order of magnitude under the
-  1e-5 reference-parity target.
+  matmuls use an exact one-hot operand against a 2-term bf16 split of
+  the value operand (see `_SPLIT_TERMS`).  Measured end-to-end error vs
+  the f64 oracle: <= ~3e-6 — well under the 1e-5 reference-parity
+  target.
 
 Reference semantics: `src/raster.jl:85-108` (splat), `src/raster_pullback.jl`
 (the six analytic gradients).
@@ -776,8 +781,12 @@ def _fold_pl_2d(ext, grid_size, ts, ow=None, bg=None):
     return geometry.vma_assert(out, geometry.vma_union(ext, ow, bg))
 
 
-def _fold_pl_ok(grid_size, ts) -> bool:
-    """Pallas fold applies: 2D multi-tile with strips that fit VMEM."""
+def _band_pl_ok(grid_size, ts) -> bool:
+    """The band-based Pallas fold AND unfold apply: 2D multi-tile with
+    full-width strips that fit VMEM (fold scratch 512 x wp x 4 B; unfold
+    scratch depth x 136 x wp x 4 B + an n1-window out block).  Wider
+    grids fall back to the XLA forms — `supported()` admits e.g.
+    (256, 8128), whose wp = 8192 band would blow the ~16 MB budget."""
     if len(grid_size) != 2:
         return False
     n1 = -(-grid_size[1] // ts[1])
@@ -1029,7 +1038,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
         # all entries equal by the static contract; fold the scalar in
         ow_eff = ow_eff * point_weight.astype(f32)[0]
     bg_f = background.astype(f32)
-    if halo and not interpret and _fold_pl_ok(grid_size, ts):
+    if halo and not interpret and _band_pl_ok(grid_size, ts):
         # the x*ow + bg epilogue rides the fold kernel's band writes
         out = _fold_pl_2d(ext, grid_size, ts, ow_eff,
                           bg_f)[:, :grid_size[0], :grid_size[1]]
@@ -1252,9 +1261,10 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     # see the zero padding (the reference OOB-drop semantics, no validity
     # masks)
     if halo:
-        if n_out == 2 and not interpret:
-            # Pallas DMA unfold (TPU only: the interpreter has no DMA
-            # engine model worth paying for; CPU tests take the XLA path)
+        if n_out == 2 and not interpret and _band_pl_ok(grid_size, ts):
+            # Pallas band DMA unfold (TPU only: the interpreter has no
+            # DMA engine model worth paying for; CPU tests and
+            # over-wide grids take the XLA path)
             g_in = _unfold_pl_2d(g_cot, grid_size, ts)
         else:
             g_in = _unfold(g_cot, grid_size, ts, transposed=True)

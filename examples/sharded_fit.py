@@ -63,7 +63,10 @@ def fit(steps=200, lr=30.0, seed=0, mesh=None, log_every=50):
         imgs = raster_sharded(GRID, pts, rots, trans, mesh=mesh)
         return jnp.mean((blur(imgs) - targets) ** 2)
 
-    step = jax.jit(lambda p: (loss_fn(p), p - lr * jax.grad(loss_fn)(p)))
+    @jax.jit
+    def step(p):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        return loss, p - lr * g
 
     pts = truth + jnp.asarray(rng.standard_normal((N_POINTS, 3)) * 0.05,
                               jnp.float32)
