@@ -44,7 +44,8 @@ def test_optax_training_loop():
     with adam must reduce the loss."""
     import jax.numpy as jnp
     import numpy as np
-    import optax
+    import pytest
+    optax = pytest.importorskip("optax")
 
     import dprast
 
