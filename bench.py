@@ -66,8 +66,11 @@ def main():
     def bwd_step(c, *a):
         pts, rot, tr, bg, ow, pw, g = a
         res = dispatch.bwd_fn(backend_b)(grid, pts, rot, tr + c * 1e-30, bg,
-                                         ow, pw, g)
-        return res.translation.ravel()[0]
+                                         ow, pw, g, pw_uniform=True)
+        # force the three gradients the reference's bwd number computes
+        # (`raster_pullback!(ds, points, rotation, translation)`)
+        return (res.translation.ravel()[0] + res.points.ravel()[0]
+                + res.rotation.ravel()[0])
 
     from benchmarks.timing import per_iter
 

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 from benchmarks.timing import per_iter as _per_iter
+from benchmarks.timing import per_iter_stats as _per_iter_stats
 
 # (name, n_points, batch, grid, n_in, A100 fwd ms, A100 bwd ms[, weighted])
 #
@@ -104,9 +105,17 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
     fwd = lambda c: dispatch.fwd_fn(backend_f)(
         grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
         pw_uniform=not weighted).ravel()[0]
-    bwd = lambda c, gg: dispatch.bwd_fn(backend_b)(
-        grid, pts, rot, tr + c * 1e-30, bg, ow, pw,
-        gg).translation.ravel()[0]
+
+    def bwd(c, gg):
+        res = dispatch.bwd_fn(backend_b)(
+            grid, pts, rot, tr + c * 1e-30, bg, ow, pw, gg,
+            pw_uniform=not weighted)
+        # force the three gradients the reference's bwd rows compute
+        # (`raster_pullback!(ds, points, rotation, translation)`,
+        # README.md:185-197); the weight gradients may dead-code away
+        # exactly as the reference never computed them on these rows
+        return (res.translation.ravel()[0] + res.points.ravel()[0]
+                + res.rotation.ravel()[0])
     rec = {"config": name,
            "backend": (backend_f if backend_f == backend_b
                        else f"{backend_f}+{backend_b}")}
@@ -114,14 +123,16 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
     # report partially: a compile failure in one direction (e.g. the dev
     # tunnel's payload cap) must not discard the other's measurement
     try:
-        t_fwd = _per_iter(fwd)
+        t_fwd, s_fwd = _per_iter_stats(fwd)
         rec["t_fwd_ms"] = round(t_fwd * 1e3, 3)
+        rec["t_fwd_ms_pm"] = round(s_fwd * 1e3, 3)
     except Exception as e:
         t_fwd = None
         rec["fwd_error"] = str(e)[:120]
     try:
-        t_bwd = _per_iter(bwd, g)
+        t_bwd, s_bwd = _per_iter_stats(bwd, g)
         rec["t_bwd_ms"] = round(t_bwd * 1e3, 3)
+        rec["t_bwd_ms_pm"] = round(s_bwd * 1e3, 3)
     except Exception as e:
         t_bwd = None
         rec["bwd_error"] = str(e)[:120]
@@ -130,20 +141,30 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
         # through the public API / custom_vjp (the binned backend's
         # pullback reuses the forward's sorted frame there, skipping the
         # binning prep — cheaper than the standalone fwd + bwd sum
-        # above).  The perturbation threads through BOTH the pose and
-        # the cotangent side: with a loop-invariant cotangent XLA hoists
-        # the pullback's grid-sized unfold out of the timing loop, and
-        # plain jax.grad (no value) lets it dead-code the forward's fold
-        # — both under-measure what a real training step pays.
+        # above).  The pose perturbation stops XLA hoisting iterations /
+        # dead-coding the forward's fold.  The COTANGENT side is
+        # perturbed only on the binned backward: its grid-sized unfold
+        # depends on the cotangent alone and would hoist out of the
+        # loop (under-measuring real training, where the cotangent
+        # changes every step).  On the xla backward every cotangent
+        # consumer also depends on the pose, so nothing can hoist — and
+        # perturbing would bill a full-grid read+write materialisation
+        # (~10 ms at 1024^3) that a real value_and_grad of this loss
+        # never pays (its cotangent IS `gg`, used in place).
+        perturb_g = backend_b == "binned"
+
         def gstep(c, gg):
             def loss_fn(tr_):
                 out = dprast.raster(grid, pts, rot, tr_, bg, ow,
                                     pw if weighted else None)
-                return jnp.sum(out * (gg + c * 1e-30))
+                gg_eff = gg + c * 1e-30 if perturb_g else gg
+                return jnp.sum(out * gg_eff)
             val, grads = jax.value_and_grad(loss_fn)(tr + c * 1e-30)
             return val * 1e-30 + grads.ravel()[0]
         try:
-            rec["t_grad_ms"] = round(_per_iter(gstep, g) * 1e3, 3)
+            t_gr, s_gr = _per_iter_stats(gstep, g)
+            rec["t_grad_ms"] = round(t_gr * 1e3, 3)
+            rec["t_grad_ms_pm"] = round(s_gr * 1e3, 3)
         except Exception as e:
             rec["grad_error"] = str(e)[:120]
     if t_fwd is not None and t_bwd is not None:

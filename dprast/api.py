@@ -138,6 +138,12 @@ def _normalise(grid_size, points, rotation, translation, background,
     if point_weight is None:
         point_weight = 1.0
     point_weight = jnp.asarray(point_weight)
+    # STATIC fast-path flag: a defaulted or scalar point_weight is a
+    # broadcast constant (the reference's lazy `Ones` FillArray,
+    # `src/interface.jl:368-394`) — backends may then drop the per-point
+    # weight plane from their data path.  Computed here, after coercion,
+    # so exotic inputs hit the friendly shape errors first.
+    pw_uniform = point_weight.ndim == 0
     if point_weight.ndim == 0:
         point_weight = jnp.broadcast_to(point_weight, (n_points,))
     elif point_weight.ndim != 1 or point_weight.shape[0] != n_points:
@@ -156,7 +162,7 @@ def _normalise(grid_size, points, rotation, translation, background,
         a.astype(dtype)
         for a in (points, rotation, translation, background, out_weight,
                   point_weight))
-    return grid_size, args, batched
+    return grid_size, args, batched, pw_uniform
 
 
 def raster(grid_size, points, rotation, translation, background=None,
@@ -188,15 +194,7 @@ def raster(grid_size, points, rotation, translation, background=None,
     Returns:
       (*grid_size) array for a single pose, (B, *grid_size) for a batch.
     """
-    # STATIC fast-path flag: a defaulted or scalar point_weight is a
-    # broadcast constant (the reference's lazy `Ones` FillArray,
-    # `src/interface.jl:368-394`) — backends may then drop the per-point
-    # weight plane from their data path (the binned backend drops one
-    # payload operand from its binning sort).
-    pw_uniform = point_weight is None or (
-        not isinstance(point_weight, (list, tuple))
-        and jnp.ndim(point_weight) == 0)
-    grid_size, args, batched = _normalise(
+    grid_size, args, batched, pw_uniform = _normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
     resolved = dispatch.resolve_pair(backend, len(grid_size), grid_size,
@@ -227,13 +225,14 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
     ds_dout = jnp.asarray(ds_dout)
     bg_scalar = background is None or jnp.ndim(background) == 0
     ow_scalar = out_weight is None or jnp.ndim(out_weight) == 0
-    pw_scalar = (point_weight is not None
-                 and not isinstance(point_weight, (list, tuple))
-                 and jnp.ndim(point_weight) == 0)
-    grid_size, args, batched = _normalise(
+    grid_size, args, batched, pw_uniform = _normalise(
         tuple(ds_dout.shape[1:] if jnp.ndim(rotation) == 3 else ds_dout.shape),
         points, rotation, translation, background, out_weight, point_weight,
         dtype)
+    # the backend fast path's d_pw is only sum-exact, so take it ONLY
+    # when the summing below applies (user passed a SCALAR weight); a
+    # defaulted None still gets the exact per-point d_pw vector
+    pw_scalar = point_weight is not None and pw_uniform
     if not batched:
         ds_dout = ds_dout[None]
     if ds_dout.shape != (args[1].shape[0],) + grid_size:
@@ -251,7 +250,8 @@ def raster_pullback(ds_dout, points, rotation, translation, background=None,
                jnp.zeros((0,), args[0].dtype))
     else:
         res = dispatch.bwd_fn(resolved)(grid_size, *args,
-                                        ds_dout.astype(args[0].dtype))
+                                        ds_dout.astype(args[0].dtype),
+                                        pw_uniform=pw_scalar)
     d_points, d_rot, d_trans, d_bg, d_ow, d_pw = res
     if not batched:
         d_rot, d_trans = d_rot[0], d_trans[0]

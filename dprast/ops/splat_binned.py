@@ -896,6 +896,13 @@ def _unfold_pl_2d(g_cot, grid_size, ts):
             x0 = tx * t1
             xa = min(128 * (x0 // 128), wp - 256)   # static
             dx = x0 - xa                            # static, < 256
+            # The static roll below can wrap lanes from seg's LOW end into
+            # the carved window whenever dx + t1 + 1 > 256 (only possible
+            # on clamped edge bands, xa == wp - 256).  Those wrapped lanes
+            # correspond to grid columns >= xa + 256 >= gx, so the
+            # ``ci < gx - x0`` mask zeroes exactly the wrapped region —
+            # the invariant a tile-size / fetch-width change must keep:
+            assert dx + t1 + 1 <= 256 or gx <= xa + 256, (tx, dx, xa, gx)
             seg = band[:, xa:xa + 256]
             if dx:
                 seg = pltpu.roll(seg, 256 - dx, axis=1)
@@ -906,7 +913,7 @@ def _unfold_pl_2d(g_cot, grid_size, ts):
     out = pl.pallas_call(
         kern,
         grid=(bsz, n0),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 1, n1, t1 + 1, t0 + 1),
                                lambda bb, ty: (bb, ty, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -960,6 +967,10 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
         f"P={points.shape[0]}"
+    # the API short-circuits P == 0 to the background image before
+    # dispatch; a direct backend call must not reach the uniform path's
+    # point_weight[0] read (or build an empty slot frame) with no points
+    assert points.shape[0] > 0, "binned backend requires n_points > 0"
     if interpret is None:
         interpret = _interpret_default()
     if chunk is None:
@@ -1169,10 +1180,16 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                     pw_uniform: bool = False) -> PullbackResult:
     """Analytic pullback -> PullbackResult (all six gradients).
 
-    ``pw_uniform`` is accepted for dispatch uniformity; the standalone
-    pullback's own binning prep never carries a weight plane (weights
-    re-enter after the unsort), so the flag changes nothing here."""
-    del pw_uniform
+    ``pw_uniform=True`` is the static promise that (a) every
+    ``point_weight`` entry equals ``point_weight[0]`` AND (b) the caller
+    observes ``d_pw`` only through its SUM (true for the `jax.grad` path
+    — the broadcast-transpose sums it — and for the API's scalar-weight
+    summing).  The weight-gradient plane then never rides the unsort:
+    ``d_ow`` / ``sum(d_pw)`` are per-pose row sums of the SORTED frame
+    (every non-point row is exactly zero), which drops one payload
+    operand from the unsort — sort cost scales steeply with operand
+    count (measured v5e, 4 x (16, 121k) rows: key+3 11.4 ms vs
+    key+2 ~8.5)."""
     n_out = len(grid_size)
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
@@ -1206,7 +1223,7 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     return _pullback_from_frame(
         grid_size, data[:, :n_out], data[:, n_out], slot_tile, points,
         rotation, out_weight, point_weight, ds_dout, chunk=chunk,
-        interpret=interpret)
+        interpret=interpret, pw_uniform=pw_uniform)
 
 
 def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
@@ -1231,12 +1248,13 @@ def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
     return _pullback_from_frame(
         grid_size, data[:, :n_out], data[:, idx_plane], slot_tile, points,
         rotation, out_weight, point_weight, ds_dout, chunk=chunk,
-        interpret=interpret)
+        interpret=interpret, pw_uniform=pw_uniform)
 
 
 def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                          rotation, out_weight, point_weight, ds_dout, *,
-                         chunk, interpret) -> PullbackResult:
+                         chunk, interpret,
+                         pw_uniform=False) -> PullbackResult:
     n_out = len(grid_size)
     if interpret is None:
         interpret = _interpret_default()
@@ -1306,7 +1324,12 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     # unsort the raw kernel rows by point id (one batched multi-operand
     # sort; measured v5e 1024^2: a take_along_axis row gather is ~5x
     # SLOWER than re-sorting every plane — TPU sorts beat gathers).  The
-    # direct path keeps original order and needs nothing.
+    # direct path keeps original order and needs nothing.  On the
+    # uniform-weight path the weight-gradient plane skips the unsort:
+    # d_ow and sum(d_pw) are order-independent row sums of the sorted
+    # frame (non-point rows are exactly zero), and pw_uniform's contract
+    # says the caller observes d_pw only through its sum.
+    n_uns = n_out if (pw_uniform and halo) else n_out + 1
     if halo:
         if bsz <= 8:
             # small pose batches: ONE flat 1-D sort with the pose id
@@ -1319,7 +1342,7 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
             seg = (jnp.arange(bsz, dtype=jnp.int32) << 24)[:, None]
             kf = (idx_rows.astype(jnp.int32) + seg).reshape(-1)
             ops = lax.sort((kf,) + tuple(buf[:, i].reshape(-1)
-                                         for i in range(n_out + 1)),
+                                         for i in range(n_uns)),
                            dimension=0, num_keys=1, is_stable=False)
             per = [o.reshape(bsz, s_pad)[:, :p] for o in ops[1:]]
         else:
@@ -1330,15 +1353,14 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                 sl = slice(i, i + _SORT_BATCH)
                 ops = lax.sort(
                     (idx_rows[sl],) + tuple(buf[sl, i2]
-                                            for i2 in range(n_out + 1)),
+                                            for i2 in range(n_uns)),
                     dimension=1, num_keys=1, is_stable=False)
                 pers.append([o[:, :p] for o in ops[1:]])
             per = [jnp.concatenate([c[k] for c in pers])
-                   for k in range(n_out + 1)]
+                   for k in range(n_uns)]
     else:
         per = [buf[:, i, :p] for i in range(n_out + 1)]
     du_pt = jnp.stack(per[:n_out], axis=1)                # (B, n_out, P)
-    gw_pt = per[n_out]                                    # (B, P)
 
     scale = jnp.asarray(grid_size, f32) / 2
     ow = out_weight.astype(f32)
@@ -1350,14 +1372,23 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     d_t = jnp.sum(scaled, axis=-1)                        # (B, n_out)
     d_r = jnp.einsum("bns,si->bni", scaled, points.astype(f32),
                      precision=lax.Precision.HIGHEST)
-    d_ow = jnp.einsum("bs,s->b", gw_pt, pw,
-                      precision=lax.Precision.HIGHEST)
     d_bg = jnp.sum(g_cot.reshape(bsz, -1), axis=-1)
     d_points = jnp.einsum("bns,bni->si", scaled,
                           rotation.astype(f32),
                           precision=lax.Precision.HIGHEST)  # (P, n_in)
-    d_pw = jnp.einsum("bs,b->s", gw_pt, ow,
-                      precision=lax.Precision.HIGHEST)
+    if pw_uniform and halo:
+        # per-pose frame row sums == per-pose point sums (fillers,
+        # no-overlap reals and dead slots all wrote exact zeros)
+        gw_sums = jnp.sum(buf[:, n_out].astype(f32), axis=-1)    # (B,)
+        d_ow = gw_sums * pw[0]
+        # sum-exact uniform spread (see pw_uniform's contract above)
+        d_pw = jnp.full((p,), jnp.dot(gw_sums, ow) / p, f32)
+    else:
+        gw_pt = per[n_out]                                # (B, P)
+        d_ow = jnp.einsum("bs,s->b", gw_pt, pw,
+                          precision=lax.Precision.HIGHEST)
+        d_pw = jnp.einsum("bs,b->s", gw_pt, ow,
+                          precision=lax.Precision.HIGHEST)
 
     dtype = jnp.result_type(points, rotation, ds_dout)
     return PullbackResult(

@@ -150,7 +150,7 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
 
     Returns a (B, *grid_size) array sharded over the "poses" axis.
     """
-    grid_size, args, batched = api._normalise(
+    grid_size, args, batched, pw_uniform = api._normalise(
         grid_size, points, rotation, translation, background, out_weight,
         point_weight, dtype)
     if not batched:
@@ -165,15 +165,27 @@ def raster_sharded(grid_size, points, rotation, translation, background=None,
             (b,) + grid_size)
         # replicated placement: valid for any batch vs poses-axis size
         return jax.device_put(out, NamedSharding(mesh, P()))
+    # The uniform-weight fast path survives sharding only when no
+    # points-axis padding is needed (padding relies on weight-0 rows to
+    # drop the padded points, so the weight plane becomes load-bearing —
+    # see shard_raster_args).  Static shapes make this a static rule: at
+    # production scale, size the points axis to divide the cloud.
+    # (Coordinate-based padding was considered and rejected: a padded
+    # point at any finite coordinate lands IN-grid for valid degenerate
+    # poses, e.g. a rotation row summing exactly to zero.)
+    pw_fast = pw_uniform and (
+        args[0].shape[0] % mesh.shape[POINTS_AXIS] == 0)
     args, n_points, b = shard_raster_args(mesh, *args)
     resolved = dispatch.resolve(backend, len(grid_size), grid_size,
                                 n_points)
-    out = _raster_shard_map(grid_size, resolved, mesh, *args)
+    out = _raster_shard_map(grid_size, resolved, mesh, *args,
+                            pw_uniform=pw_fast)
     return out if out.shape[0] == b else out[:b]
 
 
 def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
-                      background, out_weight, point_weight):
+                      background, out_weight, point_weight, *,
+                      pw_uniform=False):
     n_out = len(grid_size)
     # vma checking stays ON for every backend: the binned backend's
     # pallas_calls run on `geometry.vma_erase`d operands, declare
@@ -196,11 +208,14 @@ def _raster_shard_map(grid_size, backend, mesh, points, rotation, translation,
         tr = vary(tr, POINTS_AXIS)
         ow = vary(ow, POINTS_AXIS)
         zero_bg = jnp.zeros_like(vary(bg, POINTS_AXIS))
-        # pw_uniform stays False here even for defaulted weights: the
-        # points-axis padding relies on weight-0 rows to drop the padded
-        # points (shard_raster_args), so the weight plane is load-bearing
-        partial = ad.raster_canonical(grid_size, backend, False, pts, rot,
-                                      tr, zero_bg, ow, pw)
+        # pw_uniform holds per shard exactly when it held globally AND no
+        # points-axis padding was inserted (weight-0 padding rows would
+        # break the every-entry-equal promise) — the caller passes the
+        # static flag under that rule, so each shard's weights are the
+        # same broadcast scalar and the backends drop the weight plane
+        # exactly as the single-device default call does
+        partial = ad.raster_canonical(grid_size, backend, pw_uniform, pts,
+                                      rot, tr, zero_bg, ow, pw)
         # Replaces the reference's atomic adds on the shared output image
         # (src/raster.jl:64): partial per-shard images, one ICI reduction.
         total = lax.psum(partial, POINTS_AXIS)

@@ -197,6 +197,33 @@ def test_check_grads_kernel_backends(backend, n_in, n_out):
                 rtol=5e-3)
 
 
+@pytest.mark.slow
+def test_check_grads_binned_multitile_2d():
+    """Finite-difference check on a SORTED multi-tile 2D binned frame
+    (8, 192): two x-tiles, so the full sort → halo fold/unfold → unsort
+    machinery is in the differentiation path — the configuration the
+    single-tile (8, 8) case above never reaches (the reference's
+    `test_rrule` analogue, `test/chainrules.jl:2-90`).  Runs through the
+    Pallas interpreter on CPU.
+
+    eps is chosen for the 96-voxel/unit x scale: the default 3.4e-4
+    probe moves coordinates ~0.03 voxels — across the piecewise-linear
+    voxel kinks — while 2e-5 stays ~2e-3 voxels, far above the backend's
+    2^-23 coordinate quantization and (at this seed) clear of every
+    voxel boundary."""
+    grid = (8, 192)
+    fx = _fx(n_in=3, n_out=2, n_points=16, batch=2, seed=3)
+
+    def f(points, rotation, translation, background, out_weight,
+          point_weight):
+        return dprast.raster(grid, points, rotation, translation,
+                             background, out_weight, point_weight,
+                             backend="binned")
+
+    check_grads(f, tuple(fx.values()), order=1, modes=["rev"], atol=5e-3,
+                rtol=5e-3, eps=2e-5)
+
+
 def test_grad_binned_3d_matches_xla():
     """`jax.grad` through the binned 3D path vs the oracle backend.  (The
     finite-difference harness is unusable on fine 3D grids: with the x
