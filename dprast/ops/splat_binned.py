@@ -1165,11 +1165,26 @@ def _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk,
     iota = lax.broadcasted_iota(jnp.int32, (cols_e, chunk), 0)
     lo = iota == ix0
     hi = iota == ix0 + 1
-    bx = jnp.where(lo, 1 - dlx, 0.0) + jnp.where(hi, dlx, 0.0)
-    dbx = jnp.where(hi, 1.0, 0.0) - jnp.where(lo, 1.0, 0.0)
-    gw = jnp.sum(v1 * bx, axis=0, keepdims=True)          # (1, C)
-    dus = [jnp.sum(dpre * bx, axis=0, keepdims=True) for dpre in dus_pre]
-    dus.append(jnp.sum(v1 * dbx, axis=0, keepdims=True))  # d/du_x
+
+    # masked row sums instead of materialised bx/dbx planes: each x
+    # one-hot has exactly one nonzero row per point, so every reduction
+    # picks a single row (zeros add exactly) and the weighting moves to
+    # (1, C) lane math — BIT-exact vs the bx/dbx product form (same two
+    # products, same subtract) with ~25% fewer VPU ops in this block
+    # (measured v5e single-tile 128²x64x1e5: 8.60 -> 8.42 ms,
+    # benchmarks/exp_xsel.py)
+    def row_sums(v):
+        return (jnp.sum(jnp.where(lo, v, 0.0), axis=0, keepdims=True),
+                jnp.sum(jnp.where(hi, v, 0.0), axis=0, keepdims=True))
+
+    a_v, b_v = row_sums(v1)
+    omx = 1 - dlx
+    gw = a_v * omx + b_v * dlx                            # (1, C)
+    dus = []
+    for dpre in dus_pre:
+        c0, c1 = row_sums(dpre)
+        dus.append(c0 * omx + c1 * dlx)
+    dus.append(b_v - a_v)                                 # d/du_x
     buf_ref[0] = jnp.concatenate(dus + [gw], axis=0)      # (n_out+1, C)
 
 
