@@ -1209,6 +1209,9 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
         f"P={points.shape[0]}"
+    # see _fwd_impl: the API short-circuits P == 0 before dispatch; the
+    # uniform path below reads point_weight[0]
+    assert points.shape[0] > 0, "binned backend requires n_points > 0"
     if chunk is None:
         chunk = _default_chunk(grid_size, points.shape[0])
     ts = tile_shape_for(grid_size)

@@ -12,8 +12,14 @@ Run: python examples/fit_langevin.py [--steps 400] [--out /tmp/fit]
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+# runnable straight from a checkout (no install needed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import argparse
 
 import numpy as np
 

@@ -16,6 +16,13 @@ Run (any device count; 8 virtual CPU devices work):
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable straight from a checkout (no install needed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
