@@ -187,9 +187,10 @@ def raster(grid_size, points, rotation, translation, background=None,
       out_weight: scalar — or (B,) per pose. Default 1.
       point_weight: scalar or (P,) per point. Default 1.
       dtype: result dtype; defaults to the promoted input dtype (>= float32).
-      backend: 'auto' | 'xla' | 'matmul' | 'matmul_bf16' |
-        'binned' kernel strategy ('auto' may resolve the forward and
-        backward to different strategies, `dispatch.resolve_pair`).
+      backend: 'auto' | 'xla' | 'matmul' | 'matmul_bf16' | 'binned' |
+        'binned_bf16' kernel strategy ('auto' may resolve the forward
+        and backward to different strategies, `dispatch.resolve_pair`;
+        the `_bf16` modes are documented ~2e-3 fast modes).
 
     Returns:
       (*grid_size) array for a single pose, (B, *grid_size) for a batch.

@@ -59,6 +59,16 @@ register("binned", splat_binned.raster_fwd, splat_binned.raster_pullback,
          splat_binned.supported,
          vjp_pair=(splat_binned.raster_fwd_res,
                    splat_binned.raster_pullback_res))
+# Documented fast mode on the flagship backend: 1-term bf16 value
+# splits (~2e-3 relative error, same envelope as matmul_bf16) halve the
+# kernels' MXU work; sorts/fold/unfold are untouched.
+register("binned_bf16",
+         functools.partial(splat_binned.raster_fwd, terms=1),
+         functools.partial(splat_binned.raster_pullback, terms=1),
+         splat_binned.supported,
+         vjp_pair=(functools.partial(splat_binned.raster_fwd_res, terms=1),
+                   functools.partial(splat_binned.raster_pullback_res,
+                                     terms=1)))
 
 
 def available_backends() -> tuple[str, ...]:

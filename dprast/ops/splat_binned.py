@@ -536,7 +536,7 @@ def _x_selects(ix0_row, chunk, cols_e):
 
 
 def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
-                n_out, with_w=True, skip_dead=True):
+                n_out, with_w=True, skip_dead=True, terms=_SPLIT_TERMS):
     # slots past n_live (the slot table's trailing entry) carry only
     # no-overlap reals / excess fillers: skip ALL compute and writes.
     # Their output index is tile nt-1 == the last live slot's tile (every
@@ -547,7 +547,7 @@ def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
     if not skip_dead:
         _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
                          chunk=chunk, halo=halo, n_out=n_out,
-                         with_w=with_w)
+                         with_w=with_w, terms=terms)
         return
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -557,11 +557,11 @@ def _fwd_kernel(st_ref, lane_ref, ext_ref, *, ts, chunk, halo,
     def _():
         _fwd_kernel_live(st_ref, lane_ref, ext_ref, ts=ts,
                          chunk=chunk, halo=halo, n_out=n_out,
-                         with_w=with_w)
+                         with_w=with_w, terms=terms)
 
 
 def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
-                     halo, n_out, with_w=True):
+                     halo, n_out, with_w=True, terms=_SPLIT_TERMS):
     b = pl.program_id(0)
     s = pl.program_id(1)
     t_cur = st_ref[b, s]
@@ -619,12 +619,16 @@ def _fwd_kernel_live(st_ref, lane_ref, ext_ref, *, ts, chunk,
     acc = None
     for j in (0, 1):
         mj = m * cxs[j]
-        # in-kernel exact 2-term split (Mosaic does not run XLA's
+        # in-kernel exact `terms`-term split (Mosaic does not run XLA's
         # excess-precision elision, so the astype round-trip is safe
-        # here, unlike in splat_matmul)
-        mh = mj.astype(jnp.bfloat16)
-        ml = (mj - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-        for half in (mh, ml):
+        # here, unlike in splat_matmul); terms=1 is the documented
+        # ~2e-3 fast mode (backend "binned_bf16"), terms=2 the faithful
+        # default
+        rem = mj
+        for t_i in range(terms):
+            half = rem.astype(jnp.bfloat16)
+            if t_i + 1 < terms:
+                rem = rem - half.astype(jnp.float32)
             part = lax.dot_general(half, xs[j], dims,
                                    preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
@@ -927,24 +931,31 @@ def _unfold_pl_2d(g_cot, grid_size, ts):
 
 def raster_fwd(grid_size, points, rotation, translation, background,
                out_weight, point_weight, *, chunk: int | None = None,
-               interpret: bool | None = None, pw_uniform: bool = False):
+               interpret: bool | None = None, pw_uniform: bool = False,
+               terms: int = _SPLIT_TERMS):
     """Forward rasterisation -> (B, *grid_size).
 
     ``pw_uniform=True`` is the STATIC promise that every `point_weight`
     entry equals ``point_weight[0]`` (the API sets it when the argument
     was defaulted or scalar — the reference's lazy `Ones` FillArray,
     `src/interface.jl:368-394`): the weight plane is dropped from the
-    binning sort and the scalar factor is applied post-fold."""
+    binning sort and the scalar factor is applied post-fold.
+
+    ``terms`` is the bf16 split depth of the kernels' value operands:
+    2 (default) keeps the ≤1e-5 parity contract; 1 is the documented
+    ~2e-3 fast mode (backend ``"binned_bf16"``) that halves the kernel
+    matmuls — the binned analogue of ``matmul_bf16``."""
     out, _ = _fwd_impl(grid_size, points, rotation, translation, background,
                        out_weight, point_weight, chunk=chunk,
                        interpret=interpret, with_residuals=False,
-                       pw_uniform=pw_uniform)
+                       pw_uniform=pw_uniform, terms=terms)
     return out
 
 
 def raster_fwd_res(grid_size, points, rotation, translation, background,
                    out_weight, point_weight, *, chunk: int | None = None,
-                   interpret: bool | None = None, pw_uniform: bool = False):
+                   interpret: bool | None = None, pw_uniform: bool = False,
+                   terms: int = _SPLIT_TERMS):
     """Forward + reusable binning residuals ``(data, slot_tile)``.
 
     `jax.grad` goes through this pair (see `dprast.ad`): the sorted slot
@@ -957,12 +968,12 @@ def raster_fwd_res(grid_size, points, rotation, translation, background,
     return _fwd_impl(grid_size, points, rotation, translation, background,
                      out_weight, point_weight, chunk=chunk,
                      interpret=interpret, with_residuals=True,
-                     pw_uniform=pw_uniform)
+                     pw_uniform=pw_uniform, terms=terms)
 
 
 def _fwd_impl(grid_size, points, rotation, translation, background,
               out_weight, point_weight, *, chunk, interpret,
-              with_residuals, pw_uniform=False):
+              with_residuals, pw_uniform=False, terms=_SPLIT_TERMS):
     n_out = len(grid_size)
     assert supported(n_out, grid_size, points.shape[0]), \
         f"binned backend does not support grid={grid_size} " \
@@ -1037,7 +1048,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
     ext = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, chunk=chunk, halo=halo,
                           n_out=n_out, with_w=not pw_uniform,
-                          skip_dead=not interpret),
+                          skip_dead=not interpret, terms=terms),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, nt, rows_e, cols_e), f32),
         interpret=interpret,
@@ -1072,7 +1083,7 @@ def _fwd_impl(grid_size, points, rotation, translation, background,
 
 
 def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
-                n_out, skip_dead=True):
+                n_out, skip_dead=True, terms=_SPLIT_TERMS):
     """Transposed-orientation gather kernel: ``resT = gT @ o_rows`` with
     the cotangent window pre-transposed by `_unfold`.  Every per-point
     operand lives on the LANE axis end to end — inputs are (Mb, C) rows,
@@ -1087,7 +1098,7 @@ def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
     `_fwd_kernel`)."""
     if not skip_dead:
         _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, ts=ts,
-                         chunk=chunk, halo=halo, n_out=n_out)
+                         chunk=chunk, halo=halo, n_out=n_out, terms=terms)
         return
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -1096,7 +1107,7 @@ def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
     @pl.when(live)
     def _():
         _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, ts=ts,
-                         chunk=chunk, halo=halo, n_out=n_out)
+                         chunk=chunk, halo=halo, n_out=n_out, terms=terms)
 
     @pl.when(jnp.logical_not(live))
     def _():
@@ -1104,7 +1115,7 @@ def _bwd_kernel(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk, halo,
 
 
 def _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk,
-                     halo, n_out):
+                     halo, n_out, terms=_SPLIT_TERMS):
     cols_e = ts[-1] + (1 if halo else 0)
     if halo:
         gt = g_ref[0, 0]                                  # (cols_e, rows_e)
@@ -1132,7 +1143,7 @@ def _bwd_kernel_live(st_ref, lane_ref, g_ref, buf_ref, *, ts, chunk,
     # exact in bf16 by construction
     g_terms = []
     rem = gt
-    for _ in range(_SPLIT_TERMS):
+    for _ in range(terms):
         t_i = rem.astype(jnp.bfloat16)
         g_terms.append(t_i)
         rem = rem - t_i.astype(jnp.float32)
@@ -1192,7 +1203,8 @@ def raster_pullback(grid_size, points, rotation, translation, background,
                     out_weight, point_weight, ds_dout, *,
                     chunk: int | None = None,
                     interpret: bool | None = None,
-                    pw_uniform: bool = False) -> PullbackResult:
+                    pw_uniform: bool = False,
+                    terms: int = _SPLIT_TERMS) -> PullbackResult:
     """Analytic pullback -> PullbackResult (all six gradients).
 
     ``pw_uniform=True`` is the static promise that (a) every
@@ -1241,13 +1253,14 @@ def raster_pullback(grid_size, points, rotation, translation, background,
     return _pullback_from_frame(
         grid_size, data[:, :n_out], data[:, n_out], slot_tile, points,
         rotation, out_weight, point_weight, ds_dout, chunk=chunk,
-        interpret=interpret, pw_uniform=pw_uniform)
+        interpret=interpret, pw_uniform=pw_uniform, terms=terms)
 
 
 def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
                         chunk: int | None = None,
                         interpret: bool | None = None,
-                        pw_uniform: bool = False) -> PullbackResult:
+                        pw_uniform: bool = False,
+                        terms: int = _SPLIT_TERMS) -> PullbackResult:
     """Pullback reusing the forward's binning residuals (see
     `raster_fwd_res`): the frame's coord planes and point ids are already
     sorted, so the keys + big-sort prep is skipped entirely.
@@ -1266,13 +1279,13 @@ def raster_pullback_res(grid_size, residuals, args, ds_dout, *,
     return _pullback_from_frame(
         grid_size, data[:, :n_out], data[:, idx_plane], slot_tile, points,
         rotation, out_weight, point_weight, ds_dout, chunk=chunk,
-        interpret=interpret, pw_uniform=pw_uniform)
+        interpret=interpret, pw_uniform=pw_uniform, terms=terms)
 
 
 def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
                          rotation, out_weight, point_weight, ds_dout, *,
-                         chunk, interpret,
-                         pw_uniform=False) -> PullbackResult:
+                         chunk, interpret, pw_uniform=False,
+                         terms=_SPLIT_TERMS) -> PullbackResult:
     n_out = len(grid_size)
     if interpret is None:
         interpret = _interpret_default()
@@ -1330,7 +1343,8 @@ def _pullback_from_frame(grid_size, coord, idx_rows, slot_tile, points,
     vma = geometry.vma_union(slot_tile, lane_b, g_in)
     buf = pl.pallas_call(
         functools.partial(_bwd_kernel, ts=ts, chunk=chunk, halo=halo,
-                          n_out=n_out, skip_dead=not interpret),
+                          n_out=n_out, skip_dead=not interpret,
+                          terms=terms),
         grid_spec=grid_spec,
         out_shape=_out_struct((bsz, n_out + 1, s_pad), f32),
         interpret=interpret,

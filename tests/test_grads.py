@@ -174,6 +174,36 @@ def test_matmul_bf16_fast_mode_close():
                                np.asarray(ref) / scale, atol=2e-2)
 
 
+@pytest.mark.parametrize("grid", [(8, 8), (8, 192)])
+def test_binned_bf16_fast_mode_close(grid):
+    """The binned fast mode (r5, the matmul_bf16 analogue on the
+    flagship backend): single-tile and sorted multi-tile paths both
+    within the advertised ~2e-3 envelope, forward and gradients."""
+    fx = _fx(n_points=48, batch=3, seed=7)
+    args = tuple(jnp.asarray(v, jnp.float32) for v in fx.values())
+    ref = dprast.raster(grid, *args, backend="binned")
+    fast = dprast.raster(grid, *args, backend="binned_bf16")
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    np.testing.assert_allclose(np.asarray(fast) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+    g = jnp.asarray(
+        np.random.default_rng(4).standard_normal(ref.shape), jnp.float32)
+
+    def loss(backend, pts, tr):
+        return jnp.sum(dprast.raster(grid, pts, args[1], tr, *args[3:],
+                                     backend=backend) * g)
+
+    g_f = jax.grad(lambda *a: loss("binned_bf16", *a), argnums=(0, 1))(
+        args[0], args[2])
+    g_r = jax.grad(lambda *a: loss("binned", *a), argnums=(0, 1))(
+        args[0], args[2])
+    for a, b in zip(g_f, g_r):
+        sc = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                   atol=2e-2)
+
+
 @pytest.mark.parametrize("backend", ["binned"])
 @pytest.mark.parametrize("n_in,n_out", [(3, 2), (3, 3)])
 def test_check_grads_kernel_backends(backend, n_in, n_out):
