@@ -11,6 +11,10 @@ a *kernel strategy*:
 - ``"binned"``  slot-scheduled tile-binned Pallas kernels for any
                 tile-aligned 2D/3D grid (`dprast.ops.splat_binned`)
 - ``"auto"``    best available for the given dims / grid / platform
+
+plus the two documented ~2e-3 fast modes ``"matmul_bf16"`` /
+``"binned_bf16"`` (1-term bf16 value operands; never auto-selected —
+`auto` preserves the ≤1e-5 parity contract).
 """
 
 from __future__ import annotations
