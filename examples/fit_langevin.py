@@ -44,16 +44,16 @@ def gaussian_blur_fft(img, sigma):
     return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) * ker))
 
 
-def model(points, log_bandwidth, log_weight):
+def model(points, log_bandwidth, log_weight, backend="auto"):
     """Differentiable image formation: splat + blur
     (reference logo.jl:18-25)."""
     img = dprast.raster(GRID, points, jnp.eye(2), jnp.zeros(2), 0.0,
-                        jnp.exp(log_weight))
+                        jnp.exp(log_weight), backend=backend)
     return gaussian_blur_fft(img, jnp.exp(log_bandwidth))
 
 
-def loss(points, log_bandwidth, log_weight, target):
-    pred = model(points, log_bandwidth, log_weight)
+def loss(points, log_bandwidth, log_weight, target, backend="auto"):
+    pred = model(points, log_bandwidth, log_weight, backend)
     return jnp.mean((pred - target) ** 2)
 
 
@@ -74,15 +74,22 @@ def make_target(key):
 
 
 def langevin_fit(target, steps=400, seed=0, step_size=5.0, noise=1e-5,
-                 log_every=50):
+                 log_every=50, backend="auto"):
     """reference langevin!: x += eps*grad + sqrt(2 eps T) xi (logo.jl:55-60);
-    plain gradient steps for the scalars (logo.jl:62-66)."""
+    plain gradient steps for the scalars (logo.jl:62-66).
+
+    ``backend="binned_bf16"`` runs the fit in the documented ~2e-3 fast
+    mode — rendering-tolerance fits converge the same and the fused
+    step drops ~40% (measured v5e at the 128²x64x1e5 training shape:
+    14.6 -> 8.8 ms)."""
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
     points = jax.random.uniform(k0, (N_POINTS, 2), minval=-0.8, maxval=0.8)
     log_bw, log_w = jnp.log(2.0), jnp.log(1.0)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    import functools
+    grad_fn = jax.jit(jax.value_and_grad(
+        functools.partial(loss, backend=backend), argnums=(0, 1, 2)))
 
     @jax.jit
     def step(points, log_bw, log_w, key):
@@ -125,13 +132,18 @@ def main():
     ap.add_argument("--image", default=None,
                     help="PNG target (e.g. examples/data/logo.png); "
                          "default: procedural three-ring target")
+    ap.add_argument("--fast", action="store_true",
+                    help="run in the binned_bf16 fast mode (~2e-3 "
+                         "error, ~40%% faster fused steps)")
     args = ap.parse_args()
 
     if args.image:
         target = load_image_target(args.image)
     else:
         target = make_target(jax.random.PRNGKey(42))
-    points, log_bw, log_w, history = langevin_fit(target, steps=args.steps)
+    backend = "binned_bf16" if args.fast else "auto"
+    points, log_bw, log_w, history = langevin_fit(target, steps=args.steps,
+                                                  backend=backend)
 
     os.makedirs(args.out, exist_ok=True)
     final = np.asarray(model(points, log_bw, log_w))
