@@ -203,6 +203,16 @@ def test_binned_bf16_fast_mode_close(grid):
         np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
                                    atol=2e-2)
 
+    # the standalone pullback API in fast mode (all six fields)
+    pb_f = dprast.raster_pullback(g, *args, backend="binned_bf16")
+    pb_r = dprast.raster_pullback(g, *args, backend="binned")
+    for name in pb_r._fields:
+        b = np.asarray(getattr(pb_r, name))
+        sc = max(float(np.max(np.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(getattr(pb_f, name)) / sc,
+                                   b / sc, atol=2e-2,
+                                   err_msg=f"fast-mode pullback {name}")
+
 
 @pytest.mark.parametrize("backend", ["binned"])
 @pytest.mark.parametrize("n_in,n_out", [(3, 2), (3, 3)])
