@@ -71,7 +71,11 @@ def blur(imgs, sigma=1.5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--fast", action="store_true",
+                    help="reconstruct in the binned_bf16 fast mode "
+                         "(~2e-3 error; reconstruction-tolerance work)")
     args = ap.parse_args()
+    backend = "binned_bf16" if args.fast else "auto"
 
     rots = view_matrices()
     trans = jnp.zeros((N_VIEWS, 2), jnp.float32)
@@ -82,7 +86,8 @@ def main():
                                 minval=-0.6, maxval=0.6)
 
     def loss(points):
-        pred = blur(dprast.raster(GRID, points, rots, trans))
+        pred = blur(dprast.raster(GRID, points, rots, trans,
+                                  backend=backend))
         return jnp.mean((pred - target) ** 2)
 
     val_grad = jax.jit(jax.value_and_grad(loss))
