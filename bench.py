@@ -72,10 +72,10 @@ def main():
         return (res.translation.ravel()[0] + res.points.ravel()[0]
                 + res.rotation.ravel()[0])
 
-    from benchmarks.timing import per_iter
+    from benchmarks.timing import per_iter_stats
 
-    t_fwd = per_iter(fwd_step, *args)
-    t_bwd = per_iter(bwd_step, *(args + (ds_dout,)))
+    t_fwd, s_fwd = per_iter_stats(fwd_step, *args)
+    t_bwd, s_bwd = per_iter_stats(bwd_step, *(args + (ds_dout,)))
 
     splats = n_points * batch * 2 ** len(grid)
     value = splats / (t_fwd + t_bwd)
@@ -90,6 +90,9 @@ def main():
             "platform": jax.default_backend(),
             "t_fwd_ms": t_fwd * 1e3,
             "t_bwd_ms": t_bwd * 1e3,
+            # median-of-3 linear fits; half-spread = run-to-run band
+            "t_fwd_ms_pm": s_fwd * 1e3,
+            "t_bwd_ms_pm": s_bwd * 1e3,
             "n_points": n_points, "batch": batch, "grid": list(grid),
         },
     }))
