@@ -43,6 +43,10 @@ CONFIGS = [
     # default-weight call, so the ratio would be apples-to-oranges
     ("128sq_1e5_pw", 100_000, 64, (128, 128), 3, None, None, True),
     ("1024sq_1e5_pw", 100_000, 64, (1024, 1024), 3, None, None, True),
+    # documented fast mode (~2e-3): no vs_a100 (the A100 rows are
+    # f32-faithful); the _bf16 suffix selects the backend (run_config)
+    ("128sq_1e5_bf16", 100_000, 64, (128, 128), 3, None, None),
+    ("1024sq_1e5_bf16", 100_000, 64, (1024, 1024), 3, None, None),
     ("128cube_1e5", 100_000, 1, (128, 128, 128), 3, None, None),
     # BASELINE cfg 4 at its stated size: 1M points, full gradients
     ("128cube_1e6", 1_000_000, 1, (128, 128, 128), 3, None, None),
@@ -80,8 +84,11 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
     import dprast
     from dprast.ops import dispatch
 
-    backend_f, backend_b = dispatch.resolve_pair("auto", len(grid), grid,
-                                                 n_points)
+    if name.endswith("_bf16"):
+        backend_f = backend_b = "binned_bf16"
+    else:
+        backend_f, backend_b = dispatch.resolve_pair("auto", len(grid),
+                                                     grid, n_points)
     args = _args_for(n_points, batch, grid, n_in)
     voxels = batch
     for s in grid:
@@ -151,12 +158,15 @@ def run_config(name, n_points, batch, grid, n_in, ref_fwd, ref_bwd,
         # perturbing would bill a full-grid read+write materialisation
         # (~10 ms at 1024^3) that a real value_and_grad of this loss
         # never pays (its cotangent IS `gg`, used in place).
-        perturb_g = backend_b == "binned"
+        perturb_g = backend_b.startswith("binned")
+
+        api_backend = "binned_bf16" if name.endswith("_bf16") else "auto"
 
         def gstep(c, gg):
             def loss_fn(tr_):
                 out = dprast.raster(grid, pts, rot, tr_, bg, ow,
-                                    pw if weighted else None)
+                                    pw if weighted else None,
+                                    backend=api_backend)
                 gg_eff = gg + c * 1e-30 if perturb_g else gg
                 return jnp.sum(out * gg_eff)
             val, grads = jax.value_and_grad(loss_fn)(tr + c * 1e-30)
