@@ -76,10 +76,17 @@ def main():
     print(f"grid={grid} ts={ts} nt={nt} chunk={chunk} "
           f"s_pad={s_pad} n_slots={s_pad // chunk} batch={b}", flush=True)
 
-    # force EVERY sorted plane: a single .ravel()[0] lets XLA drop the
-    # unused payload operands from the variadic sort and under-measures
+    # force EVERY sorted plane AND every sort-chunk: a single
+    # .ravel()[0] touches only pose 0, and the per-16-pose chunked
+    # sorts are independent ops — XLA drops the other chunks' sorts
+    # entirely (re-measured r5: prep read 3.6 ms with pose-0 forcing
+    # vs ~13 with all four chunks forced at B=64, exactly the 4x)
+    from dprast.ops.splat_binned import _SORT_BATCH
+
     def _force(d):
-        return sum(d[:, i].ravel()[0] for i in range(d.shape[1]))
+        return sum(d[k, i].ravel()[0]
+                   for k in range(0, d.shape[0], _SORT_BATCH)
+                   for i in range(d.shape[1]))
 
     t = per_iter(lambda c: _force(prep(tr + c * 1e-30)[0]), ())
     print(f"prep fwd (key+3)      {t*1e3:8.2f} ms", flush=True)
