@@ -213,3 +213,17 @@ def test_empty_cloud_still_validates_backend():
     with pytest.raises(ValueError, match="backend"):
         dprast.raster_pullback(jnp.zeros((8, 8), jnp.float32), pts, rot, tr,
                                backend="bogus")
+
+
+def test_backend_registry_surface():
+    """The public backend names are a stable API surface: all six
+    registered, 'auto' the default, every name resolvable where
+    supported."""
+    names = dprast.available_backends()
+    assert set(names) == {"xla", "matmul", "matmul_bf16", "binned",
+                          "binned_bf16"}
+    assert dprast.default_backend() == "auto"
+    from dprast.ops import dispatch
+    for n in names:
+        if dispatch._REGISTRY[n][2](2, (16, 16)):
+            assert dispatch.resolve(n, 2, (16, 16)) == n
